@@ -1,0 +1,191 @@
+"""Configuration tree for ccm_slam_tpu.
+
+Mirrors the reference parameter namespaces (``params::{sys,extractor,tracking,
+mapping,comm,placerec,opt}`` in ``cslam/include/cslam/config.h:180-313``) with
+the shipped defaults from ``cslam/conf/config.yaml`` — those values are the
+compatibility contract.  Unlike the reference (static-initializer globals read
+from YAML at load time) this is a plain immutable dataclass tree that is
+threaded explicitly through the pipeline, so experiments can run with several
+configs in one process.
+
+Capacity fields (``*_capacity``) are new: the TPU data model uses
+fixed-capacity SoA arenas with validity masks instead of pointer maps, so
+every store needs a static bound for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """ORB extraction budget (reference conf/config.yaml:38-51)."""
+
+    n_features: int = 1000          # ORBextractor.nFeatures
+    scale_factor: float = 1.2       # ORBextractor.scaleFactor
+    n_levels: int = 8               # ORBextractor.nLevels
+    ini_th_fast: int = 20           # ORBextractor.iniThFAST
+    min_th_fast: int = 7            # ORBextractor.minThFAST
+    # TPU-native additions: static per-cell candidate bound for the masked
+    # grid/quadtree keypoint distribution.
+    cell_size: int = 30             # FAST evaluated per 30px cell (reference semantics)
+    grid_cols: int = 75             # feature grid for windowed search (Frame.h:116)
+    grid_rows: int = 48
+    patch_size: int = 31            # BRIEF patch
+    half_patch: int = 15            # IC-angle radius
+    # Multiplier for the initialization-time extractor (Tracking.cpp:75 uses 2x).
+    init_features_factor: int = 2
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """KF decision + per-function inlier gates (config.yaml:55-72)."""
+
+    init_kfs: int = 5                      # reset if lost before this many KFs
+    min_frames: int = 0                    # Tracking.MinFrames
+    max_frames: int = 20                   # Tracking.MaxFrames (>=1 KF per 20 frames)
+    matches_inliers_thres: int = 15        # Tracking.nMatchesInliersThres
+    th_ref_ratio: float = 0.9              # Tracking.thRefRatio
+    ref_kf_inlier_thres_search: int = 15
+    ref_kf_inlier_thres_opt: int = 10
+    motion_model_inlier_thres_search: int = 20
+    motion_model_inlier_thres_opt: int = 10
+    local_map_inlier_thres: int = 30
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Client local-map bounds + culling (config.yaml:78-81)."""
+
+    local_map_size: int = 50       # Mapping.LocalMapSize
+    local_map_buffer: int = 20     # Mapping.LocalMapBuffer
+    recent_kf_window: int = 20     # Mapping.RecentKFWindow
+    red_thres: float = 0.98        # Mapping.RedThres (KF redundancy culling)
+
+
+@dataclass(frozen=True)
+class CommConfig:
+    """Client<->server exchange budgets (config.yaml:86-107)."""
+
+    client_pub_freq: float = 5.0
+    client_kf_it_bound: int = 30
+    client_mp_it_bound: int = 3000
+    client_pub_max_kfs: int = 40
+    client_pub_max_mps: int = 2500
+    server_pub_freq: float = 1.0
+    server_kfs_to_client: int = 0      # vicinity feedback budget (0 = acks only)
+    server_kf_it_bound: int = 400
+    server_mp_it_bound: int = 12000
+
+
+@dataclass(frozen=True)
+class PlaceRecConfig:
+    """Loop/map-match thresholds (config.yaml:112-117 + Opt block)."""
+
+    new_loop_thres: int = 20                # KFs between loop closures
+    start_map_matching_after_kf: int = 30
+    covisibility_consistency_th: int = 3
+    # Sim3 stage thresholds (config.yaml Opt.* block, used by place rec)
+    matches_thres: int = 20                 # BoW matches to attempt Sim3
+    inliers_thres: int = 20                 # Sim3 RANSAC inliers
+    total_matches_thres: int = 40           # matches after guided projection
+    probability: float = 0.99               # RANSAC confidence
+    min_inliers: int = 6
+    max_iterations: int = 300
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    """Optimizer iteration budgets (config.yaml:121-130)."""
+
+    solver_iterations: int = 5     # local BA first stage (then 10 more)
+    gba_iterations: int = 20
+    ess_graph_min_feats: int = 100  # covisibility edge weight for essential graph
+    # Pose-only BA: 4 rounds x 10 iterations with chi2 re-classification
+    pose_opt_rounds: int = 4
+    pose_opt_its_per_round: int = 10
+    chi2_mono: float = 5.991       # 2-dof 95% gate used throughout the reference
+    huber_delta_mono: float = 2.447651936  # sqrt(5.991)
+    huber_delta_sim3: float = 3.1622776601683795  # sqrt(10)
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + radtan calibration (reference conf/vi_euroc.yaml)."""
+
+    width: int = 752
+    height: int = 480
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    k1: float = -0.28340811
+    k2: float = 0.07395907
+    p1: float = 0.00019359
+    p2: float = 1.76187114e-05
+    k3: float = 0.0
+    fps: float = 20.0
+    # T_SC: body(IMU)->camera transform, row-major 4x4 (vi_euroc.yaml Cam0.T*)
+    t_sc: tuple = (
+        (0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975),
+        (0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768),
+        (-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static arena bounds for the fixed-shape TPU data model.
+
+    The reference's client map is bounded anyway (LocalMapSize+Buffer KFs);
+    the server map grows without bound, so the server arena must be sized for
+    the run (growable only between jit invocations via re-allocation).
+    """
+
+    max_keypoints: int = 1024          # per-frame feature slots (>= n_features)
+    client_max_kfs: int = 128          # >= LocalMapSize + LocalMapBuffer + margin
+    client_max_mps: int = 16384
+    server_max_kfs: int = 1024
+    server_max_mps: int = 131072
+    max_obs_per_mp: int = 32           # observation slots per landmark
+    covis_neighbors: int = 32          # top-K covisibility neighbors kept dense
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Top-level assembly: one per deployment."""
+
+    n_agents: int = 1                  # reference supports up to 4 (ServerSystem.cpp:30)
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    comm: CommConfig = field(default_factory=CommConfig)
+    placerec: PlaceRecConfig = field(default_factory=PlaceRecConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SystemConfig()
+
+
+def tiny_test_config() -> SystemConfig:
+    """Small-capacity config for fast unit tests."""
+    return SystemConfig(
+        extractor=ExtractorConfig(n_features=128, n_levels=4),
+        capacity=CapacityConfig(
+            max_keypoints=128,
+            client_max_kfs=16,
+            client_max_mps=512,
+            server_max_kfs=32,
+            server_max_mps=1024,
+            max_obs_per_mp=8,
+            covis_neighbors=8,
+        ),
+    )
