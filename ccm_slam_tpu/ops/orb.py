@@ -1,0 +1,201 @@
+"""ORB feature extraction: pyramid + FAST + grid distribution + IC-angle +
+steered BRIEF, as one fused fixed-shape jit program per image.
+
+TPU-native re-design of ``ORBextractor`` (cslam/src/ORBextractor.cpp:579-1306):
+
+* 8-level pyramid (scale 1.2) built with ``jax.image.resize`` — static shapes
+  per level, traced once.
+* FAST with the reference's high->low threshold fallback per 30px cell
+  (ops/fast.py) — evaluated densely instead of per-cell loops.
+* The quadtree keypoint distribution (``DistributeOctTree``, :707-931) is
+  recast as *grid-bucketed top-1*: each level is divided into ~budget_l cells
+  and the best corner per cell survives, then the per-level budget is filled
+  by global top-k — same spatial-uniformity goal, fixed-shape and sortless on
+  the hot path except one top_k.
+* Per-level budgets follow the reference's geometric split
+  (nfeatures*(1-q)/(1-q^L) * q^l, ctor :603-617).
+* IC-angle over a radius-15 circular patch (:449-474) and steered BRIEF on a
+  7x7-Gaussian-blurred level (ops/brief.py, :1105-1214) — per-keypoint patch
+  work is batched gathers.
+
+Returns fixed-capacity per-frame features with validity masks; keypoint
+coordinates are in level-0 (full-resolution) pixels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import brief, fast
+
+
+@struct.dataclass
+class FrameFeatures:
+    """Fixed-capacity per-frame feature set (N slots)."""
+
+    xy: jnp.ndarray        # [N,2] (x, y) in level-0 pixels, raw (distorted)
+    response: jnp.ndarray  # [N]
+    octave: jnp.ndarray    # [N] int32
+    angle: jnp.ndarray     # [N] radians
+    desc: jnp.ndarray      # [N,32] uint8
+    valid: jnp.ndarray     # [N] bool
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def level_budgets(n_features: int, n_levels: int, scale_factor: float):
+    """Per-level keypoint budgets (reference ORBextractor ctor semantics)."""
+    q = 1.0 / scale_factor
+    first = n_features * (1 - q) / (1 - q**n_levels)
+    budgets = []
+    acc = 0
+    for lvl in range(n_levels - 1):
+        b = int(round(first * q**lvl))
+        budgets.append(b)
+        acc += b
+    budgets.append(max(n_features - acc, 0))
+    return budgets
+
+
+def level_shapes(h: int, w: int, n_levels: int, scale_factor: float):
+    shapes = []
+    for lvl in range(n_levels):
+        inv = scale_factor**lvl
+        shapes.append((max(int(round(h / inv)), 32), max(int(round(w / inv)), 32)))
+    return shapes
+
+
+def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
+    """Separable Gaussian blur (the 7x7 blur before BRIEF, ORBextractor.cpp:1250)."""
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    pad = radius
+    p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
+    p = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(p)  # rows: W axis
+    p = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(p)
+    return p
+
+
+_CIRCLE_MASK_R = 15
+
+
+def _circle_offsets():
+    dy, dx = np.mgrid[-_CIRCLE_MASK_R : _CIRCLE_MASK_R + 1, -_CIRCLE_MASK_R : _CIRCLE_MASK_R + 1]
+    mask = dx * dx + dy * dy <= _CIRCLE_MASK_R * _CIRCLE_MASK_R
+    return dy[mask], dx[mask]
+
+
+_IC_DY, _IC_DX = _circle_offsets()
+
+
+def ic_angle(img, kp_xy):
+    """Intensity-centroid orientation (radians) for keypoints [K,2] (x,y)."""
+    H, W = img.shape
+    dy = jnp.asarray(_IC_DY, jnp.int32)[None, :]
+    dx = jnp.asarray(_IC_DX, jnp.int32)[None, :]
+    x = jnp.clip(jnp.round(kp_xy[:, 0:1]).astype(jnp.int32) + dx, 0, W - 1)
+    y = jnp.clip(jnp.round(kp_xy[:, 1:2]).astype(jnp.int32) + dy, 0, H - 1)
+    vals = img[y, x]  # [K, n_circle]
+    m10 = jnp.sum(vals * dx.astype(jnp.float32), axis=1)
+    m01 = jnp.sum(vals * dy.astype(jnp.float32), axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def _grid_top1(score, gh: int, gw: int):
+    """Keep only the best-scoring pixel of each cell of a gh x gw grid."""
+    H, W = score.shape
+    ch = -(-H // gh)
+    cw = -(-W // gw)
+    ph = ch * gh - H
+    pw = cw * gw - W
+    s = jnp.pad(score, ((0, ph), (0, pw)), constant_values=0.0)
+    cells = s.reshape(gh, ch, gw, cw).transpose(0, 2, 1, 3).reshape(gh, gw, ch * cw)
+    best = jnp.max(cells, axis=-1)  # [gh,gw]
+    best_idx = jnp.argmax(cells, axis=-1)
+    keep = jnp.zeros_like(cells, bool)
+    keep = keep.at[
+        jnp.arange(gh)[:, None], jnp.arange(gw)[None, :], best_idx
+    ].set(best > 0)
+    keep = keep.reshape(gh, gw, ch, cw).transpose(0, 2, 1, 3).reshape(gh * ch, gw * cw)
+    return jnp.where(keep[:H, :W], score, 0.0)
+
+
+def _extract_level(img_lvl, budget: int, ini_th, min_th, cell: int):
+    """One pyramid level -> (xy [B,2], resp [B], angle [B], desc [B,32], valid [B])."""
+    H, W = img_lvl.shape
+    valid, score = fast.detect(img_lvl, ini_th, min_th, cell)
+
+    # grid-bucketed top-1: ~1.5x budget cells, aspect-proportional
+    n_cells = max(int(budget * 1.5), 4)
+    gw = max(int(np.sqrt(n_cells * W / max(H, 1))), 1)
+    gh = max(n_cells // max(gw, 1), 1)
+    score = _grid_top1(score, gh, gw)
+
+    flat = score.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, budget)
+    ys = (top_idx // W).astype(jnp.float32)
+    xs = (top_idx % W).astype(jnp.float32)
+    kp_valid = top_scores > 0.0
+    xy = jnp.stack([xs, ys], axis=-1)
+
+    angle = ic_angle(img_lvl, xy)
+    img_blur = gaussian_blur(img_lvl)
+    desc = brief.descriptor_bits(img_blur, xy, angle)
+    return xy, top_scores, angle, desc, kp_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale_factor", "cell", "capacity"),
+)
+def extract(
+    img,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+    cell: int = 30,
+    capacity: int = 1024,
+) -> FrameFeatures:
+    """Extract ORB features from a grayscale image [H, W] (float32 0..255)."""
+    img = img.astype(jnp.float32)
+    H, W = img.shape
+    shapes = level_shapes(H, W, n_levels, scale_factor)
+    budgets = level_budgets(n_features, n_levels, scale_factor)
+
+    xs, rs, os_, angs, ds, vs = [], [], [], [], [], []
+    img_lvl = img
+    for lvl in range(n_levels):
+        if lvl > 0:
+            img_lvl = jax.image.resize(img, shapes[lvl], method="bilinear")
+        xy, resp, ang, desc, val = _extract_level(img_lvl, budgets[lvl], ini_th, min_th, cell)
+        scale = scale_factor**lvl
+        xs.append(xy * scale)
+        rs.append(resp)
+        os_.append(jnp.full(budgets[lvl], lvl, jnp.int32))
+        angs.append(ang)
+        ds.append(desc)
+        vs.append(val)
+
+    xy = jnp.concatenate(xs)
+    pad = capacity - xy.shape[0]
+    if pad < 0:
+        raise ValueError(f"capacity {capacity} < total budget {xy.shape[0]}")
+    feats = FrameFeatures(
+        xy=jnp.pad(xy, ((0, pad), (0, 0))),
+        response=jnp.pad(jnp.concatenate(rs), (0, pad)),
+        octave=jnp.pad(jnp.concatenate(os_), (0, pad)),
+        angle=jnp.pad(jnp.concatenate(angs), (0, pad)),
+        desc=jnp.pad(jnp.concatenate(ds), ((0, pad), (0, 0))),
+        valid=jnp.pad(jnp.concatenate(vs), (0, pad)),
+    )
+    return feats

@@ -1,0 +1,192 @@
+"""Bundle adjustment with Schur-complement landmark marginalization.
+
+TPU-native replacement for g2o's ``BlockSolver_6_3`` + LM pipeline used by
+``Optimizer::BundleAdjustmentClient`` (cslam/src/Optimizer.cpp:40-212),
+``Optimizer::LocalBundleAdjustmentClient`` (:349-644) and the core of
+``Optimizer::MapFusionGBA`` (:646-859).
+
+Design (idiomatic TPU, not a port):
+* Observations live in a fixed-shape per-landmark table ``[P, K]`` (landmark p
+  is seen by at most K cameras) — no sparse graph structure, just masks.
+* The reduced camera system is assembled as dense matmuls on the MXU:
+  the camera-point coupling ``W`` is scattered once into a dense
+  ``[6C, 3P]`` operator, and ``S = U + lam*diag - W V^-1 W^T`` becomes two
+  batched matmuls.  For the local-BA problem sizes of the reference
+  (<=70 cameras, a few thousand points) this is far below one MXU's
+  capacity; the sharded GBA variant in ``parallel/dist_ba.py`` partitions
+  the landmark dimension instead.
+* Fixed cameras (the local-BA frontier, Optimizer.cpp:420-437) simply get
+  zeroed pose Jacobians: they still constrain landmarks through V and g_p
+  but receive no update — no special graph surgery.
+* LM with multiplicative damping; every iteration computes the trial cost
+  and accepts/rejects functionally, so the whole solve is one jitted scan
+  (interruption = stopping between outer iterations; see ``ba_solve``'s
+  ``chunk`` return contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.lie import se3_exp
+from . import reproj
+
+
+@struct.dataclass
+class BAProblem:
+    """Fixed-shape BA problem instance.
+
+    C cameras, P landmarks, K observation slots per landmark.
+    """
+
+    R: jnp.ndarray          # [C,3,3] world->cam rotations
+    t: jnp.ndarray          # [C,3]
+    X: jnp.ndarray          # [P,3] world points
+    cam_idx: jnp.ndarray    # [P,K] int32 camera index per obs (any value ok when invalid)
+    uv: jnp.ndarray         # [P,K,2] undistorted pixel measurements
+    sigma2: jnp.ndarray     # [P,K] detection variance per obs
+    obs_valid: jnp.ndarray  # [P,K] bool
+    cam_fixed: jnp.ndarray  # [C] bool: frontier cameras (and gauge anchor)
+    point_valid: jnp.ndarray  # [P] bool
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+
+
+def _residuals_and_weights(prob: BAProblem, R, t, X, huber_delta, use_huber=True):
+    """Per-obs residuals r [P,K,2], robust*info weights w [P,K], chi2 [P,K]."""
+    ci = jnp.clip(prob.cam_idx, 0, prob.R.shape[0] - 1)
+    Rc = R[ci]  # [P,K,3,3]
+    tc = t[ci]  # [P,K,3]
+    r, Xc, z = reproj.project_residual(
+        Rc, tc, X[:, None, :], prob.uv, prob.fx, prob.fy, prob.cx, prob.cy
+    )
+    valid = prob.obs_valid & prob.point_valid[:, None] & (z > 1e-6)
+    w_conf = jnp.where(valid, 1.0 / prob.sigma2, 0.0)
+    chi2 = w_conf * jnp.sum(r * r, axis=-1)
+    w_rob = reproj.huber_weight(chi2, huber_delta) if use_huber else 1.0
+    return r, Xc, w_conf * w_rob, chi2, valid
+
+
+def _cost(prob, R, t, X, huber_delta, use_huber=True):
+    _, _, _, chi2, _ = _residuals_and_weights(prob, R, t, X, huber_delta, use_huber)
+    return jnp.sum(reproj.huber_rho(chi2, huber_delta) if use_huber else chi2)
+
+
+def _build_normal_blocks(prob: BAProblem, R, t, X, huber_delta):
+    """U [C,6,6], V [P,3,3], W blocks [P,K,6,3], gradients g_c [C,6], g_p [P,3]."""
+    ci = jnp.clip(prob.cam_idx, 0, prob.R.shape[0] - 1)
+    r, Xc, w, chi2, valid = _residuals_and_weights(prob, R, t, X, huber_delta)
+    Rc = R[ci]
+    Jc, Jp = reproj.pose_point_jacobians(Rc, Xc, prob.fx, prob.fy)  # [P,K,2,6], [P,K,2,3]
+    # fixed cameras contribute no pose Jacobian but still constrain the point
+    cam_var = ~prob.cam_fixed
+    Jc = Jc * (w[..., None, None] > 0) * cam_var[ci][..., None, None]
+    Jp = Jp * (w[..., None, None] > 0)
+
+    wJc = Jc * w[..., None, None]
+    wJp = Jp * w[..., None, None]
+
+    U = jnp.zeros((prob.R.shape[0], 6, 6), r.dtype)
+    U = U.at[ci].add(jnp.einsum("pkij,pkil->pkjl", wJc, Jc))
+    V = jnp.einsum("pkij,pkil->pjl", wJp, Jp)  # [P,3,3]
+    W = jnp.einsum("pkij,pkil->pkjl", wJc, Jp)  # [P,K,6,3]
+
+    g_c = jnp.zeros((prob.R.shape[0], 6), r.dtype)
+    g_c = g_c.at[ci].add(-jnp.einsum("pkij,pki->pkj", wJc, r))
+    g_p = -jnp.einsum("pkij,pki->pj", wJp, r)  # [P,3]
+    return U, V, W, g_c, g_p, ci
+
+
+def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
+    """One damped Schur solve: returns (delta_c [C,6], delta_p [P,3])."""
+    C = U.shape[0]
+    P = V.shape[0]
+
+    # damping (multiplicative on diagonals, additive floor for empty blocks)
+    U_d = U + (lam * jnp.diagonal(U, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(6)
+    V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
+    Vinv = jnp.linalg.inv(V_d)  # [P,3,3]
+
+    # dense coupling operator: scatter W blocks into [C,P,6,3]
+    Wfull = jnp.zeros((C, P, 6, 3), U.dtype)
+    p_idx = jnp.broadcast_to(jnp.arange(P)[:, None], ci.shape)
+    Wfull = Wfull.at[ci, p_idx].add(W)
+
+    # S = U_d - W V^-1 W^T via two MXU matmuls
+    WV = jnp.einsum("cpij,pjk->cpik", Wfull, Vinv)  # [C,P,6,3]
+    S_off = jnp.einsum("cpik,dpjk->cidj", WV, Wfull)  # [C,6,C,6]
+    S = -S_off
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U_d)
+    S = S.reshape(C * 6, C * 6)
+    # inactive cameras (fixed or unobserved): identity rows so the solve is well-posed
+    diag_mag = jnp.diagonal(S)
+    inactive = jnp.repeat(prob.cam_fixed, 6) | (diag_mag <= 1e-7)
+    S = jnp.where(jnp.diag(inactive), jnp.eye(C * 6), S)
+    S = S + 1e-8 * jnp.eye(C * 6)
+
+    b = g_c - jnp.einsum("cpik,pk->ci", WV, g_p)  # [C,6]
+    b = jnp.where(inactive.reshape(C, 6), 0.0, b)
+
+    delta_c = jnp.linalg.solve(S, b.reshape(-1)).reshape(C, 6)
+    delta_c = jnp.where(prob.cam_fixed[:, None], 0.0, delta_c)
+
+    # back-substitute landmarks: delta_p = Vinv (g_p - sum_k W^T delta_c[cam])
+    Wt_dc = jnp.einsum("pkij,pki->pj", W, delta_c[ci])  # [P,3]
+    delta_p = jnp.einsum("pij,pj->pi", Vinv, g_p - Wt_dc)
+    delta_p = jnp.where(prob.point_valid[:, None], delta_p, 0.0)
+    return delta_c, delta_p
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936):
+    """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
+
+    Interruptibility contract (the reference's INTERRUPTBA / stop-flag,
+    cslam/src/Optimizer.cpp:686-687): call with a small `iters` chunk, check
+    for fresh data on the host, and re-invoke with the returned state — each
+    chunk is one compiled, resumable unit.
+    """
+
+    def lm_iter(carry, _):
+        R, t, X, lam = carry
+        U, V, W, g_c, g_p, ci = _build_normal_blocks(prob, R, t, X, huber_delta)
+        delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
+
+        dR, dt = se3_exp(delta_c)
+        R_new = dR @ R
+        t_new = (dR @ t[..., None])[..., 0] + dt
+        X_new = X + delta_p
+
+        cost = _cost(prob, R, t, X, huber_delta)
+        cost_new = _cost(prob, R_new, t_new, X_new, huber_delta)
+        finite = (
+            jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p)) & jnp.isfinite(cost_new)
+        )
+        accept = (cost_new < cost) & finite
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-10), jnp.minimum(lam * 5.0, 1e8))
+        return (R, t, X, lam), cost_new
+
+    (R, t, X, _), costs = jax.lax.scan(
+        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4)), None, length=iters
+    )
+    _, _, _, chi2, valid = _residuals_and_weights(prob, R, t, X, huber_delta)
+    n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)
+    return R, t, X, _cost(prob, R, t, X, huber_delta), n_good
+
+
+def classify_outliers(prob: BAProblem, R, t, X, chi2_thres: float = reproj.CHI2_MONO):
+    """Post-solve chi2 gate per observation (LocalBundleAdjustment's final
+    outlier erase pass, cslam/src/Optimizer.cpp:560-599)."""
+    _, _, _, chi2, valid = _residuals_and_weights(
+        prob, R, t, X, huber_delta=1.0, use_huber=False
+    )
+    return valid & (chi2 <= chi2_thres)

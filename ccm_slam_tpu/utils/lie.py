@@ -274,6 +274,19 @@ def rot_to_quat(R):
 # ---------------------------------------------------------------------------
 
 
+def _broadcast_apply(R, t, x):
+    """Apply [batch..., 3,3] rotation + translation to points
+    [batch..., extra..., 3]: extra point axes beyond the transform's batch are
+    broadcast (e.g. a [H] batch of transforms on [H, N, 3] or [N, 3] points)."""
+    extra = (x.ndim - 1) - (R.ndim - 2)
+    if extra < 0:
+        # transform batch broadcasts over plain points instead
+        return (R @ x[..., None])[..., 0] + t
+    Rb = R.reshape(R.shape[:-2] + (1,) * extra + (3, 3))
+    tb = t.reshape(t.shape[:-1] + (1,) * extra + (3,))
+    return (Rb @ x[..., None])[..., 0] + tb
+
+
 @struct.dataclass
 class SE3:
     """Rigid transform x' = R x + t.  Fields broadcast over leading dims."""
@@ -296,7 +309,7 @@ class SE3:
         return se3_log(self.R, self.t)
 
     def apply(self, x):
-        return (self.R @ x[..., None])[..., 0] + self.t
+        return _broadcast_apply(self.R, self.t, x)
 
     def compose(self, other: "SE3") -> "SE3":
         return SE3(R=self.R @ other.R, t=(self.R @ other.t[..., None])[..., 0] + self.t)
@@ -345,7 +358,8 @@ class Sim3:
         return sim3_log(self.s, self.R, self.t)
 
     def apply(self, x):
-        return self.s[..., None] * (self.R @ x[..., None])[..., 0] + self.t
+        sR = self.s[..., None, None] * self.R
+        return _broadcast_apply(sR, self.t, x)
 
     def compose(self, other: "Sim3") -> "Sim3":
         return Sim3(
