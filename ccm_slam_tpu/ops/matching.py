@@ -1,0 +1,204 @@
+"""Feature matching strategies over dense Hamming distance matrices.
+
+TPU-native re-design of ``ORBmatcher`` (cslam/src/ORBmatcher.cpp).  Every
+strategy in the reference is a CPU-side pruning scheme (feature grid windows,
+BoW direct-index node constraints) wrapped around per-pair popcounts; on TPU
+the full [Q, T] distance matrix is one MXU matmul, so pruning becomes
+*masking*:
+
+* grid window search (``GetFeaturesInArea``)      -> geometric radius mask
+* BoW node constraint (``SearchByBoW``, :178,:565) -> dropped entirely: exact
+  full matching is cheaper than the approximation it replaced
+* epipolar constraint (``SearchForTriangulation``, :700) -> point-line mask
+* rotation-histogram consistency (:1607)           -> ops/hamming.py filter
+
+Thresholds TH_LOW=50 / TH_HIGH=100 and the 0.9/0.75/0.6 ratio tests keep the
+reference's values (ORBmatcher.cpp:63-64 and call sites).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import hamming
+
+TH_LOW = 50
+TH_HIGH = 100
+
+
+def _masked_best2(dist, mask):
+    """Best and second-best over the target axis under a mask.
+
+    dist [Q,T] int32, mask [Q,T] bool -> (idx [Q], best [Q], second [Q]).
+    """
+    d = jnp.where(mask, dist, hamming.INVALID_DIST)
+    neg_top2, idx2 = jax.lax.top_k(-d, 2)
+    return idx2[..., 0], -neg_top2[..., 0], -neg_top2[..., 1]
+
+
+def match_in_window(
+    q_uv,
+    q_desc,
+    q_valid,
+    t_xy,
+    t_desc,
+    t_valid,
+    radius,
+    th_dist: int = TH_HIGH,
+    nn_ratio: float = 0.9,
+    t_octave=None,
+    octave_min=None,
+    octave_max=None,
+):
+    """Windowed projection search (SearchByProjection family).
+
+    q_uv [Q,2]: predicted pixel position of each query (projected map point or
+    previous-frame feature); radius [Q] or scalar: search window; octave_min/
+    max [Q]: allowed target octave range (scale-invariance gate).
+    Returns (t_idx [Q], dist [Q], matched [Q]).
+    """
+    d2 = jnp.sum((q_uv[:, None, :] - t_xy[None, :, :]) ** 2, axis=-1)  # [Q,T]
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (q_uv.shape[0],))
+    mask = (d2 <= (r[:, None] ** 2)) & t_valid[None, :] & q_valid[:, None]
+    if t_octave is not None and octave_min is not None:
+        mask = mask & (t_octave[None, :] >= octave_min[:, None])
+        mask = mask & (t_octave[None, :] <= octave_max[:, None])
+    dist = hamming.hamming_cross(q_desc, t_desc)
+    idx, best, second = _masked_best2(dist, mask)
+    ok = (best <= th_dist) & (
+        best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
+    )
+    return idx, best, ok & q_valid
+
+
+def match_brute(
+    q_desc,
+    q_valid,
+    t_desc,
+    t_valid,
+    th_dist: int = TH_LOW,
+    nn_ratio: float = 0.75,
+    q_angle=None,
+    t_angle=None,
+    check_rotation: bool = True,
+):
+    """Exact full descriptor matching (replaces BoW-node-constrained
+    SearchByBoW; same gates: TH_LOW + ratio + rotation histogram)."""
+    dist = hamming.masked_hamming_cross(q_desc, q_valid, t_desc, t_valid)
+    idx, best, second = _masked_best2(dist, jnp.ones_like(dist, bool))
+    ok = (
+        (best <= th_dist)
+        & (best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32))
+        & q_valid
+    )
+    if check_rotation and q_angle is not None:
+        deg = 180.0 / jnp.pi
+        ok = hamming.rotation_histogram_filter(q_angle * deg, t_angle[idx] * deg, ok)
+    # enforce uniqueness: if two queries claim one target, keep the closer one
+    ok = _unique_target(idx, best, ok, t_desc.shape[0])
+    return idx, best, ok
+
+
+def _unique_target(idx, dist, ok, n_targets: int):
+    """Drop duplicate claims on a target, keeping the smallest distance
+    (the reference's vnMatches21 bookkeeping)."""
+    big = jnp.int32(hamming.INVALID_DIST + 1)
+    d = jnp.where(ok, dist, big)
+    # best distance per target
+    best_per_t = jnp.full((n_targets,), big).at[idx].min(d)
+    # a query survives if it achieves the target's best distance...
+    is_best = ok & (d == best_per_t[idx])
+    # ...and is the first such query (break exact-distance ties by query order)
+    qi = jnp.arange(idx.shape[0])
+    first_q = jnp.full((n_targets,), idx.shape[0]).at[idx].min(
+        jnp.where(is_best, qi, idx.shape[0])
+    )
+    return is_best & (first_q[idx] == qi)
+
+
+def search_for_initialization(
+    f1_xy,
+    f1_desc,
+    f1_valid,
+    f1_angle,
+    f1_octave,
+    f2_xy,
+    f2_desc,
+    f2_valid,
+    f2_angle,
+    f2_octave,
+    window: float = 100.0,
+    th_dist: int = TH_LOW,
+    nn_ratio: float = 0.9,
+):
+    """Two-view bootstrap matching (SearchForInitialization, :448): window
+    search around the level-0 keypoints of frame 1, ratio + rotation gates."""
+    # reference restricts to octave 0 for initialization
+    v1 = f1_valid & (f1_octave == 0)
+    v2 = f2_valid & (f2_octave == 0)
+    d2 = jnp.sum((f1_xy[:, None, :] - f2_xy[None, :, :]) ** 2, axis=-1)
+    mask = (d2 <= window * window) & v1[:, None] & v2[None, :]
+    dist = hamming.hamming_cross(f1_desc, f2_desc)
+    idx, best, second = _masked_best2(dist, mask)
+    ok = (
+        (best <= th_dist)
+        & (best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32))
+        & v1
+    )
+    deg = 180.0 / jnp.pi
+    ok = hamming.rotation_histogram_filter(f1_angle * deg, f2_angle[idx] * deg, ok)
+    ok = _unique_target(idx, best, ok, f2_xy.shape[0])
+    return idx, best, ok
+
+
+def epipolar_line_dist2(F12, kp1_xy, kp2_xy):
+    """Squared distance of kp2 to the epipolar line of kp1 under F12.
+
+    F12 [3,3] maps frame-1 points to frame-2 lines: l2 = F12^T x1 (reference
+    CheckDistEpipolarLine, ORBmatcher.cpp:43-61 convention: a,b,c from x1*F12).
+    Returns [N1, N2] squared distances.
+    """
+    ones1 = jnp.ones((*kp1_xy.shape[:-1], 1), kp1_xy.dtype)
+    x1 = jnp.concatenate([kp1_xy, ones1], axis=-1)  # [N1,3]
+    lines = x1 @ F12  # [N1,3] (a,b,c)
+    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]  # [N1,1]
+    num = a * kp2_xy[None, :, 0] + b * kp2_xy[None, :, 1] + c  # [N1,N2]
+    den = a * a + b * b
+    return (num * num) / jnp.clip(den, 1e-12)
+
+
+def search_for_triangulation(
+    f1_desc,
+    f1_valid,
+    f1_xy,
+    f1_angle,
+    f1_sigma2,
+    f2_desc,
+    f2_valid,
+    f2_xy,
+    f2_angle,
+    f2_sigma2,
+    F12,
+    epi_chi2: float = 3.84,
+    th_dist: int = TH_LOW,
+):
+    """Epipolar-constrained matching for new-landmark triangulation
+    (SearchForTriangulation, :700): descriptor best-match restricted to pairs
+    satisfying the epipolar constraint in frame 2."""
+    ed2 = epipolar_line_dist2(F12, f1_xy, f2_xy)  # [N1,N2]
+    mask = (ed2 < epi_chi2 * f2_sigma2[None, :]) & f1_valid[:, None] & f2_valid[None, :]
+    dist = hamming.hamming_cross(f1_desc, f2_desc)
+    idx, best, _ = _masked_best2(dist, mask)
+    ok = (best <= th_dist) & f1_valid
+    deg = 180.0 / jnp.pi
+    ok = hamming.rotation_histogram_filter(f1_angle * deg, f2_angle[idx] * deg, ok)
+    ok = _unique_target(idx, best, ok, f2_xy.shape[0])
+    return idx, best, ok
+
+
+def predict_octave(dist, max_dist, scale_factor: float = 1.2, n_levels: int = 8):
+    """MapPoint::PredictScale: expected detection octave from viewing distance."""
+    ratio = max_dist / jnp.clip(dist, 1e-9)
+    oct_f = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor))
+    return jnp.clip(oct_f, 0, n_levels - 1).astype(jnp.int32)
