@@ -1,0 +1,443 @@
+"""Fixed-capacity SoA map arenas: keyframes, landmarks, observations.
+
+TPU-native replacement for the reference's pointer-graph map layer
+(``KeyFrame``/``MapPoint``/``Map``, cslam/src/{KeyFrame,MapPoint,Map}.cpp):
+
+* entities live in struct-of-arrays arenas with validity masks — the arena
+  index plays the role of the server's ``mUniqueId`` while ``(kf_id,
+  client_id)`` keeps the reference's ``idpair`` identity (estd.h:69);
+* per-object mutexes and ``LockMapUpdate`` are replaced by pure-functional
+  snapshots: every mutation returns a new MapState pytree, and versioned
+  pose stamps replace the loop-closure "locked pose" flags;
+* the observation structure is dual-indexed and fixed-shape: forward
+  ``kf.mp_idx [K,N]`` (feature slot -> landmark) and reverse
+  ``mp.obs_kf/obs_feat [M,O]`` (landmark -> observing keyframes), mirroring
+  ``KeyFrame::mvpMapPoints`` and ``MapPoint::mObservations``;
+* covisibility weights and the spanning tree are *derived* quantities,
+  recomputed densely from the observation tables (the reference maintains
+  them incrementally under locks, KeyFrame::UpdateConnections :629-852).
+
+All functions are jit-compatible: allocation uses traced cursor scalars and
+dynamic scatter, never Python-level growth.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+NO_MP = jnp.int32(-1)
+NO_KF = jnp.int32(-1)
+
+
+@struct.dataclass
+class KeyFrameStore:
+    # identity
+    kf_id: jnp.ndarray       # [K] int32 per-agent id (reference mnId)
+    client_id: jnp.ndarray   # [K] int32
+    timestamp: jnp.ndarray   # [K] f32 seconds
+    valid: jnp.ndarray       # [K] bool (slot allocated)
+    bad: jnp.ndarray         # [K] bool (erased; kept as graveyard for pose chains)
+    insert_order: jnp.ndarray  # [K] int32 arena insertion counter
+    # pose world->cam + version stamp (replaces pose mutex + loop "lock")
+    R_cw: jnp.ndarray        # [K,3,3]
+    t_cw: jnp.ndarray        # [K,3]
+    pose_version: jnp.ndarray  # [K] int32
+    # features
+    xy: jnp.ndarray          # [K,N,2] undistorted level-0 pixels
+    desc: jnp.ndarray        # [K,N,32] uint8
+    octave: jnp.ndarray      # [K,N] int32
+    angle: jnp.ndarray       # [K,N] f32
+    feat_valid: jnp.ndarray  # [K,N] bool
+    # associations + graph
+    mp_idx: jnp.ndarray      # [K,N] int32 landmark arena index or NO_MP
+    parent: jnp.ndarray      # [K] int32 spanning-tree parent arena idx or NO_KF
+    loop_edge: jnp.ndarray   # [K] int32 loop-closure partner or NO_KF
+
+    @property
+    def capacity(self):
+        return self.kf_id.shape[0]
+
+    @property
+    def n_feat(self):
+        return self.xy.shape[1]
+
+    def center(self):
+        """Camera centers O_w = -R^T t for all slots. [K,3]"""
+        return -jnp.einsum("kij,ki->kj", self.R_cw, self.t_cw)
+
+
+@struct.dataclass
+class MapPointStore:
+    mp_id: jnp.ndarray       # [M] int32 per-agent id
+    client_id: jnp.ndarray   # [M]
+    valid: jnp.ndarray       # [M] bool
+    bad: jnp.ndarray         # [M] bool
+    pos: jnp.ndarray         # [M,3] world
+    pos_version: jnp.ndarray  # [M] int32
+    normal: jnp.ndarray      # [M,3] mean viewing direction
+    desc: jnp.ndarray        # [M,32] uint8 distinctive descriptor
+    min_dist: jnp.ndarray    # [M] scale-invariance range
+    max_dist: jnp.ndarray    # [M]
+    ref_kf: jnp.ndarray      # [M] int32 reference keyframe arena idx
+    first_kf_id: jnp.ndarray  # [M] int32 (culling bookkeeping)
+    n_visible: jnp.ndarray   # [M] int32 (frustum appearances)
+    n_found: jnp.ndarray     # [M] int32 (tracking matches)
+    # reverse observations
+    obs_kf: jnp.ndarray      # [M,O] int32 arena idx or NO_KF
+    obs_feat: jnp.ndarray    # [M,O] int32 feature slot in that KF
+    obs_n: jnp.ndarray       # [M] int32 count of valid obs slots
+
+    @property
+    def capacity(self):
+        return self.mp_id.shape[0]
+
+    @property
+    def max_obs(self):
+        return self.obs_kf.shape[1]
+
+
+@struct.dataclass
+class MapState:
+    kfs: KeyFrameStore
+    mps: MapPointStore
+    next_kf: jnp.ndarray     # scalar int32 allocation cursor
+    next_mp: jnp.ndarray
+    insert_counter: jnp.ndarray  # scalar int32 monotone KF insertion stamp
+
+
+def empty_map(capacity_kfs: int, capacity_mps: int, n_feat: int, max_obs: int) -> MapState:
+    K, M, N, O = capacity_kfs, capacity_mps, n_feat, max_obs
+    kfs = KeyFrameStore(
+        kf_id=jnp.full((K,), -1, jnp.int32),
+        client_id=jnp.zeros((K,), jnp.int32),
+        timestamp=jnp.zeros((K,), jnp.float32),
+        valid=jnp.zeros((K,), bool),
+        bad=jnp.zeros((K,), bool),
+        insert_order=jnp.full((K,), jnp.iinfo(jnp.int32).max, jnp.int32),
+        R_cw=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
+        t_cw=jnp.zeros((K, 3), jnp.float32),
+        pose_version=jnp.zeros((K,), jnp.int32),
+        xy=jnp.zeros((K, N, 2), jnp.float32),
+        desc=jnp.zeros((K, N, 32), jnp.uint8),
+        octave=jnp.zeros((K, N), jnp.int32),
+        angle=jnp.zeros((K, N), jnp.float32),
+        feat_valid=jnp.zeros((K, N), bool),
+        mp_idx=jnp.full((K, N), NO_MP, jnp.int32),
+        parent=jnp.full((K,), NO_KF, jnp.int32),
+        loop_edge=jnp.full((K,), NO_KF, jnp.int32),
+    )
+    mps = MapPointStore(
+        mp_id=jnp.full((M,), -1, jnp.int32),
+        client_id=jnp.zeros((M,), jnp.int32),
+        valid=jnp.zeros((M,), bool),
+        bad=jnp.zeros((M,), bool),
+        pos=jnp.zeros((M, 3), jnp.float32),
+        pos_version=jnp.zeros((M,), jnp.int32),
+        normal=jnp.zeros((M, 3), jnp.float32),
+        desc=jnp.zeros((M, 32), jnp.uint8),
+        min_dist=jnp.zeros((M,), jnp.float32),
+        max_dist=jnp.full((M,), jnp.inf, jnp.float32),
+        ref_kf=jnp.full((M,), NO_KF, jnp.int32),
+        first_kf_id=jnp.full((M,), -1, jnp.int32),
+        n_visible=jnp.ones((M,), jnp.int32),
+        n_found=jnp.ones((M,), jnp.int32),
+        obs_kf=jnp.full((M, O), NO_KF, jnp.int32),
+        obs_feat=jnp.zeros((M, O), jnp.int32),
+        obs_n=jnp.zeros((M,), jnp.int32),
+    )
+    return MapState(
+        kfs=kfs,
+        mps=mps,
+        next_kf=jnp.int32(0),
+        next_mp=jnp.int32(0),
+        insert_counter=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe / landmark allocation
+# ---------------------------------------------------------------------------
+
+
+def add_keyframe(
+    m: MapState,
+    kf_id,
+    client_id,
+    timestamp,
+    R_cw,
+    t_cw,
+    xy,
+    desc,
+    octave,
+    angle,
+    feat_valid,
+    mp_assoc,
+) -> tuple[MapState, jnp.ndarray]:
+    """Allocate the next KF slot.  mp_assoc [N]: landmark arena idx or NO_MP.
+    Returns (new_map, kf_arena_idx).  Registers reverse observations."""
+    k = m.next_kf
+    kfs = m.kfs
+    kfs = kfs.replace(
+        kf_id=kfs.kf_id.at[k].set(kf_id),
+        client_id=kfs.client_id.at[k].set(client_id),
+        timestamp=kfs.timestamp.at[k].set(timestamp),
+        valid=kfs.valid.at[k].set(True),
+        bad=kfs.bad.at[k].set(False),
+        insert_order=kfs.insert_order.at[k].set(m.insert_counter),
+        R_cw=kfs.R_cw.at[k].set(R_cw),
+        t_cw=kfs.t_cw.at[k].set(t_cw),
+        xy=kfs.xy.at[k].set(xy),
+        desc=kfs.desc.at[k].set(desc),
+        octave=kfs.octave.at[k].set(octave),
+        angle=kfs.angle.at[k].set(angle),
+        feat_valid=kfs.feat_valid.at[k].set(feat_valid),
+        mp_idx=kfs.mp_idx.at[k].set(mp_assoc),
+    )
+    m = m.replace(kfs=kfs, next_kf=k + 1, insert_counter=m.insert_counter + 1)
+    m = register_observations(m, k, mp_assoc)
+    return m, k
+
+
+def register_observations(m: MapState, kf_idx, mp_assoc) -> MapState:
+    """Append (kf_idx, feat) to each associated landmark's reverse-obs table.
+
+    mp_assoc [N]: landmark index per feature slot (NO_MP = none).  Idempotence
+    is NOT checked (the reference asserts instead, MapPoint::AddObservation).
+    """
+    mps = m.mps
+    N = mp_assoc.shape[0]
+    has = mp_assoc >= 0
+    target = jnp.where(has, mp_assoc, 0)
+    # slot to write = current obs_n of that landmark, +rank among this KF's
+    # new obs hitting the same landmark (normally 0 or 1 per landmark per KF)
+    slot = jnp.clip(mps.obs_n[target], 0, mps.max_obs - 1)
+    # scatter as add-of-delta: masked entries contribute 0, so the index
+    # collisions of all the NO_MP slots (routed to landmark 0) are no-ops
+    old_kf = mps.obs_kf[target, slot]
+    old_feat = mps.obs_feat[target, slot]
+    obs_kf = mps.obs_kf.at[target, slot].add(jnp.where(has, kf_idx - old_kf, 0))
+    obs_feat = mps.obs_feat.at[target, slot].add(
+        jnp.where(has, jnp.arange(N, dtype=jnp.int32) - old_feat, 0)
+    )
+    obs_n = mps.obs_n.at[target].add(jnp.where(has, 1, 0))
+    obs_n = jnp.minimum(obs_n, mps.max_obs)
+    return m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
+
+
+def add_mappoints(
+    m: MapState,
+    n_new,
+    pos,
+    desc,
+    normal,
+    min_dist,
+    max_dist,
+    ref_kf,
+    mp_ids,
+    client_id,
+    new_valid,
+) -> tuple[MapState, jnp.ndarray]:
+    """Batch-allocate up to B landmark slots (fixed B = pos.shape[0], actual
+    count = n_new via new_valid mask).  Returns (map, arena_idx [B])."""
+    B = pos.shape[0]
+    offs = jnp.cumsum(new_valid.astype(jnp.int32)) - 1  # compacted offsets
+    idx = jnp.where(new_valid, m.next_mp + offs, m.mps.capacity - 1)
+    idx = jnp.clip(idx, 0, m.mps.capacity - 1)
+    mps = m.mps
+    sel = new_valid
+
+    # scatter as add-of-delta (XOR-of-delta for bools) so the collided writes
+    # of masked-out entries (all routed to the last slot) are exact no-ops
+    def _expand(mask, val):
+        return mask.reshape(mask.shape + (1,) * (val.ndim - mask.ndim))
+
+    def upd(field, val):
+        cur = field[idx]
+        delta = jnp.where(_expand(sel, val), val.astype(field.dtype) - cur, jnp.zeros_like(cur))
+        return field.at[idx].add(delta)
+
+    mps = mps.replace(
+        mp_id=upd(mps.mp_id, mp_ids),
+        client_id=upd(mps.client_id, client_id),
+        # bool fields: monotone scatter (max sets True, min clears) — no-ops
+        # for masked entries and for colliding duplicates
+        valid=mps.valid.at[idx].max(sel),
+        bad=mps.bad.at[idx].min(~sel),
+        pos=upd(mps.pos, pos),
+        normal=upd(mps.normal, normal),
+        desc=upd(mps.desc, desc),
+        min_dist=upd(mps.min_dist, min_dist),
+        max_dist=upd(mps.max_dist, max_dist),
+        ref_kf=upd(mps.ref_kf, ref_kf),
+        first_kf_id=upd(mps.first_kf_id, ref_kf),
+        n_visible=upd(mps.n_visible, jnp.ones_like(mps.n_visible[idx])),
+        n_found=upd(mps.n_found, jnp.ones_like(mps.n_found[idx])),
+        obs_n=upd(mps.obs_n, jnp.zeros_like(mps.obs_n[idx])),
+        obs_kf=upd(mps.obs_kf, jnp.full_like(mps.obs_kf[idx], NO_KF)),
+    )
+    m = m.replace(mps=mps, next_mp=m.next_mp + n_new)
+    return m, jnp.where(new_valid, idx, NO_MP)
+
+
+# ---------------------------------------------------------------------------
+# Derived graph structure
+# ---------------------------------------------------------------------------
+
+
+def covisibility_matrix(m: MapState) -> jnp.ndarray:
+    """[K,K] int32: number of landmarks shared between keyframe pairs.
+
+    weights[a,b] = |{p : a in obs(p) and b in obs(p)}| — derived from the
+    reverse-obs tables in one one-hot matmul chain (KeyFrame::UpdateConnections
+    recomputes this per-KF with hash maps)."""
+    K = m.kfs.capacity
+    mps = m.mps
+    O = mps.max_obs
+    slot_valid = (
+        (jnp.arange(O)[None, :] < mps.obs_n[:, None])
+        & (mps.obs_kf >= 0)
+        & mps.valid[:, None]
+        & ~mps.bad[:, None]
+    )
+    # A [M,K]: landmark-by-keyframe incidence
+    tgt = jnp.clip(mps.obs_kf, 0, K - 1)
+    A = jnp.zeros((mps.capacity, K), jnp.float32)
+    A = A.at[jnp.arange(mps.capacity)[:, None], tgt].add(slot_valid.astype(jnp.float32))
+    A = jnp.minimum(A, 1.0)
+    W = (A.T @ A).astype(jnp.int32)  # MXU: [K,K] shared-landmark counts
+    W = W - jnp.diag(jnp.diag(W))
+    alive = m.kfs.valid & ~m.kfs.bad
+    W = jnp.where(alive[:, None] & alive[None, :], W, 0)
+    return W
+
+
+def covis_neighbors(W, kf_idx, top_k: int, min_weight: int = 15):
+    """Top-K covisible neighbors of a keyframe (weight >= 15 rule,
+    KeyFrame.cpp:673).  Returns (idx [top_k], weight [top_k], valid [top_k])."""
+    row = W[kf_idx]
+    w, idx = jax.lax.top_k(row, top_k)
+    return idx, w, w >= min_weight
+
+
+def spanning_tree(m: MapState, W) -> jnp.ndarray:
+    """parent[k]: the earlier-inserted keyframe with the highest covisibility
+    (client rule: parent = top covisible among already-inserted KFs,
+    KeyFrame.cpp:715-741; the server's parent-id<own-id rule coincides with
+    insert order here).  Root(s) get NO_KF."""
+    order = m.kfs.insert_order
+    earlier = order[None, :] < order[:, None]  # [K,K] candidate mask
+    alive = m.kfs.valid & ~m.kfs.bad
+    Wm = jnp.where(earlier & alive[None, :], W, -1)
+    best = jnp.argmax(Wm, axis=1).astype(jnp.int32)
+    best_w = jnp.take_along_axis(Wm, best[:, None], axis=1)[:, 0]
+    has_parent = (best_w > 0) & alive
+    return jnp.where(has_parent, best, NO_KF)
+
+
+def update_normal_and_depth(m: MapState, scale_factor: float = 1.2, n_levels: int = 8) -> MapState:
+    """Recompute landmark viewing normals and scale-invariance distances from
+    the observation tables (MapPoint::UpdateNormalAndDepth,
+    cslam/src/MapPoint.cpp)."""
+    mps = m.mps
+    kfs = m.kfs
+    O = mps.max_obs
+    slot_valid = (jnp.arange(O)[None, :] < mps.obs_n[:, None]) & (mps.obs_kf >= 0)
+    kf = jnp.clip(mps.obs_kf, 0, kfs.capacity - 1)
+    centers = kfs.center()[kf]  # [M,O,3]
+    d = mps.pos[:, None, :] - centers
+    dn = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(slot_valid[..., None], dn, 0.0), axis=1)
+    normal = normal / jnp.clip(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    refk = jnp.clip(mps.ref_kf, 0, kfs.capacity - 1)
+    dist_ref = jnp.linalg.norm(mps.pos - kfs.center()[refk], axis=-1)
+    feat = jnp.clip(mps.obs_feat, 0, kfs.n_feat - 1)
+    # octave of the observation in the reference keyframe: find the slot whose
+    # obs_kf == ref_kf (fall back to slot 0)
+    is_ref = (mps.obs_kf == mps.ref_kf[:, None]) & slot_valid
+    ref_slot = jnp.argmax(is_ref, axis=1)
+    oct_ref = kfs.octave[refk, feat[jnp.arange(mps.capacity), ref_slot]]
+    level_sf = jnp.power(scale_factor, oct_ref.astype(jnp.float32))
+    max_dist = dist_ref * level_sf
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    has_obs = mps.obs_n > 0
+    return m.replace(
+        mps=mps.replace(
+            normal=jnp.where(has_obs[:, None], normal, mps.normal),
+            max_dist=jnp.where(has_obs, max_dist, mps.max_dist),
+            min_dist=jnp.where(has_obs, min_dist, mps.min_dist),
+        )
+    )
+
+
+def compute_distinctive_descriptors(m: MapState) -> MapState:
+    """Per-landmark representative descriptor = the observation descriptor
+    with minimum median Hamming distance to the others
+    (MapPoint::ComputeDistinctiveDescriptors, cslam/src/MapPoint.cpp:929-994)."""
+    from ..ops import hamming
+
+    mps = m.mps
+    kfs = m.kfs
+    O = mps.max_obs
+    slot_valid = (jnp.arange(O)[None, :] < mps.obs_n[:, None]) & (mps.obs_kf >= 0)
+    kf = jnp.clip(mps.obs_kf, 0, kfs.capacity - 1)
+    feat = jnp.clip(mps.obs_feat, 0, kfs.n_feat - 1)
+    descs = kfs.desc[kf, feat]  # [M,O,32]
+    bits = hamming.unpack_bits(descs).astype(jnp.float32)  # [M,O,256]
+    dots = jnp.einsum("mob,mpb->mop", bits, bits)
+    ones = jnp.sum(bits, axis=-1)
+    dist = ones[:, :, None] + ones[:, None, :] - 2.0 * dots  # [M,O,O]
+    big = 1e6
+    pair_ok = slot_valid[:, :, None] & slot_valid[:, None, :]
+    dist = jnp.where(pair_ok, dist, big)
+    med = jnp.median(dist, axis=-1)  # [M,O]
+    med = jnp.where(slot_valid, med, big)
+    best = jnp.argmin(med, axis=-1)
+    new_desc = descs[jnp.arange(mps.capacity), best]
+    has = mps.obs_n > 0
+    return m.replace(mps=mps.replace(desc=jnp.where(has[:, None], new_desc, mps.desc)))
+
+
+def erase_mappoints(m: MapState, mp_mask) -> MapState:
+    """SetBadFlag for a batch of landmarks: mark bad and detach forward
+    associations (the graveyard entry keeps pos for message-chain recovery,
+    like the reference's mmpErasedMapPoints)."""
+    mps = m.mps.replace(bad=m.mps.bad | mp_mask)
+    # detach forward links kf.mp_idx pointing at erased landmarks
+    kfs = m.kfs
+    tgt = jnp.clip(kfs.mp_idx, 0, mps.capacity - 1)
+    dead = mp_mask[tgt] & (kfs.mp_idx >= 0)
+    mp_idx = jnp.where(dead, NO_MP, kfs.mp_idx)
+    return m.replace(kfs=kfs.replace(mp_idx=mp_idx), mps=mps)
+
+
+def erase_keyframes(m: MapState, kf_mask) -> MapState:
+    """SetBadFlag for keyframes: mark bad, remove their reverse observations
+    from landmarks (KeyFrame::SetBadFlag, cslam/src/KeyFrame.cpp:936-1144 —
+    the re-parenting of children is handled by re-deriving the spanning tree)."""
+    kfs = m.kfs.replace(bad=m.kfs.bad | kf_mask)
+    mps = m.mps
+    kf_safe = jnp.clip(mps.obs_kf, 0, kfs.capacity - 1)
+    obs_dead = kf_mask[kf_safe] & (mps.obs_kf >= 0)
+    obs_kf = jnp.where(obs_dead, NO_KF, mps.obs_kf)
+    # compact: recount valid slots (obs stay sparse until next compaction)
+    obs_valid = obs_kf >= 0
+    within = jnp.arange(mps.max_obs)[None, :] < mps.obs_n[:, None]
+    obs_n = jnp.sum((obs_valid & within).astype(jnp.int32), axis=1)
+    return m.replace(kfs=kfs, mps=mps.replace(obs_kf=obs_kf, obs_n=obs_n))
+
+
+def compact_observations(m: MapState) -> MapState:
+    """Left-pack each landmark's reverse-obs slots (after erasures)."""
+    mps = m.mps
+    O = mps.max_obs
+    alive = mps.obs_kf >= 0
+    order = jnp.argsort(~alive, axis=1, stable=True)  # alive slots first
+    obs_kf = jnp.take_along_axis(mps.obs_kf, order, axis=1)
+    obs_feat = jnp.take_along_axis(mps.obs_feat, order, axis=1)
+    obs_n = jnp.sum(alive.astype(jnp.int32), axis=1)
+    return m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
