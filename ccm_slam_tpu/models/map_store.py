@@ -431,6 +431,136 @@ def erase_keyframes(m: MapState, kf_mask) -> MapState:
     return m.replace(kfs=kfs, mps=mps.replace(obs_kf=obs_kf, obs_n=obs_n))
 
 
+def rebuild_observations(m: MapState) -> MapState:
+    """Rebuild the reverse landmark->keyframe tables from the forward
+    ``kf.mp_idx`` links (sort-based grouping, fully batched).
+
+    This makes landmark replacement (MapPoint::Replace,
+    cslam/src/MapPoint.cpp:583) a pure forward-link rewrite: redirect
+    ``mp_idx`` entries, then call this to re-derive observations."""
+    kfs, mps = m.kfs, m.mps
+    K, N = kfs.capacity, kfs.n_feat
+    O = mps.max_obs
+    M = mps.capacity
+
+    kf_alive = kfs.valid & ~kfs.bad
+    mp_flat = kfs.mp_idx.reshape(-1)  # [K*N]
+    live = (mp_flat >= 0) & jnp.repeat(kf_alive, N) & kfs.feat_valid.reshape(-1)
+    mp_key = jnp.where(live, mp_flat, M)  # dead entries sort to the end
+    order = jnp.argsort(mp_key, stable=True)
+    sorted_mp = mp_key[order]
+    # rank within group = position - first index of that landmark's group
+    first_of = jnp.searchsorted(sorted_mp, jnp.arange(M + 1))
+    rank = jnp.arange(K * N) - first_of[jnp.clip(sorted_mp, 0, M)]
+    src_kf = (order // N).astype(jnp.int32)
+    src_feat = (order % N).astype(jnp.int32)
+
+    write = (sorted_mp < M) & (rank < O)
+    tgt_mp = jnp.where(write, sorted_mp, 0)
+    tgt_slot = jnp.where(write, rank, 0)
+
+    # ranks are unique per (landmark, slot) by construction; masked writes all
+    # hit (0,0) with delta 0 — collision-safe add-of-delta scatter
+    obs_kf = jnp.full((M, O), NO_KF, jnp.int32).at[tgt_mp, tgt_slot].add(
+        jnp.where(write, src_kf - NO_KF, 0)
+    )
+    obs_feat = jnp.zeros((M, O), jnp.int32).at[tgt_mp, tgt_slot].add(
+        jnp.where(write, src_feat, 0)
+    )
+    obs_n = jnp.zeros((M,), jnp.int32).at[tgt_mp].add(write.astype(jnp.int32))
+    return m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
+
+
+def replace_mappoints(m: MapState, loser, winner) -> MapState:
+    """Batched MapPoint::Replace: every forward link to ``loser[i]`` is
+    redirected to ``winner[i]``, losers are marked bad, reverse tables are
+    rebuilt.  loser/winner: [B] arena indices (entries with loser<0 ignored).
+    If a keyframe already observes the winner, its duplicate link to the
+    loser is dropped instead of redirected."""
+    B = loser.shape[0]
+    Mcap = m.mps.capacity
+    act = (loser >= 0) & (winner >= 0) & (loser != winner)
+    # redirect table old->new (one hop; callers must not chain losers)
+    safe_l = jnp.where(act, loser, Mcap - 1)
+    redirect = jnp.arange(Mcap, dtype=jnp.int32).at[safe_l].add(
+        jnp.where(act, winner - safe_l, 0)
+    )
+    kfs = m.kfs
+    old = kfs.mp_idx
+    has = old >= 0
+    new = jnp.where(has, redirect[jnp.clip(old, 0, Mcap - 1)], old)
+    # drop duplicates: if a KF row now contains the same landmark twice, keep
+    # the first occurrence (per-row one-hot check)
+    K, N = old.shape
+    # sort each row by landmark id, mark repeats, map back
+    row_sorted_idx = jnp.argsort(jnp.where(has, new, Mcap + 1), axis=1, stable=True)
+    row_sorted = jnp.take_along_axis(new, row_sorted_idx, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((K, 1), bool), row_sorted[:, 1:] == row_sorted[:, :-1]], axis=1
+    ) & (row_sorted >= 0)
+    dup = jnp.zeros((K, N), bool).at[
+        jnp.arange(K)[:, None], row_sorted_idx
+    ].set(dup_sorted)
+    new = jnp.where(dup, NO_MP, new)
+    mps = m.mps.replace(bad=m.mps.bad.at[jnp.where(act, loser, 0)].max(act))
+    m = m.replace(kfs=kfs.replace(mp_idx=new), mps=mps)
+    return rebuild_observations(m)
+
+
+def compact_map(m: MapState) -> MapState:
+    """Defragment both arenas: drop bad/erased entities, left-pack the alive
+    ones, and remap every cross-index (mp_idx, obs_kf, ref_kf, parent,
+    loop_edge).  The TPU analogue of the reference's physical erasure after
+    ``MapTrimming`` (cslam/src/Map.cpp:857-1063) — run between jit steps when
+    an allocation cursor approaches capacity; all shapes are preserved."""
+    kfs, mps = m.kfs, m.mps
+    K, M = kfs.capacity, mps.capacity
+
+    kf_keep = kfs.valid & ~kfs.bad
+    mp_keep = mps.valid & ~mps.bad & (mps.obs_n > 0)
+
+    # stable left-pack permutation: alive entries first, in original order
+    kf_perm = jnp.argsort(~kf_keep, stable=True)         # new slot -> old slot
+    mp_perm = jnp.argsort(~mp_keep, stable=True)
+    n_kf = jnp.sum(kf_keep.astype(jnp.int32))
+    n_mp = jnp.sum(mp_keep.astype(jnp.int32))
+    # old slot -> new slot (NO_KF/-1 for dropped)
+    kf_remap = jnp.full((K,), NO_KF, jnp.int32).at[kf_perm].set(jnp.arange(K, dtype=jnp.int32))
+    kf_remap = jnp.where(kf_keep, kf_remap, NO_KF)
+    mp_remap = jnp.full((M,), NO_MP, jnp.int32).at[mp_perm].set(jnp.arange(M, dtype=jnp.int32))
+    mp_remap = jnp.where(mp_keep, mp_remap, NO_MP)
+
+    def _lookup(table, idx, none_val):
+        safe = jnp.clip(idx, 0, table.shape[0] - 1)
+        return jnp.where(idx >= 0, table[safe], none_val)
+
+    # permute keyframe fields
+    kfs2 = jax.tree.map(lambda x: x[kf_perm], kfs)
+    kfs2 = kfs2.replace(
+        valid=jnp.arange(K) < n_kf,
+        bad=jnp.zeros((K,), bool),
+        mp_idx=_lookup(mp_remap, kfs2.mp_idx, NO_MP),
+        parent=_lookup(kf_remap, kfs2.parent, NO_KF),
+        loop_edge=_lookup(kf_remap, kfs2.loop_edge, NO_KF),
+    )
+    # permute landmark fields
+    mps2 = jax.tree.map(lambda x: x[mp_perm], mps)
+    obs_kf2 = _lookup(kf_remap, mps2.obs_kf, NO_KF)
+    mps2 = mps2.replace(
+        valid=jnp.arange(M) < n_mp,
+        bad=jnp.zeros((M,), bool),
+        obs_kf=obs_kf2,
+        ref_kf=_lookup(kf_remap, mps2.ref_kf, NO_KF),
+    )
+    m2 = m.replace(kfs=kfs2, mps=mps2, next_kf=n_kf, next_mp=n_mp)
+    m2 = compact_observations(m2)
+    # landmarks whose reference keyframe was dropped: re-anchor to first obs
+    mps3 = m2.mps
+    no_ref = (mps3.ref_kf < 0) & m2.mps.valid
+    mps3 = mps3.replace(ref_kf=jnp.where(no_ref, mps3.obs_kf[:, 0], mps3.ref_kf))
+    return m2.replace(mps=mps3)
+
+
 def compact_observations(m: MapState) -> MapState:
     """Left-pack each landmark's reverse-obs slots (after erasures)."""
     mps = m.mps

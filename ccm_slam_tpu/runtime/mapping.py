@@ -1,0 +1,360 @@
+"""Local mapping: landmark creation, culling, fusion, trimming, local BA.
+
+TPU-native counterpart of the client side of ``LocalMapping``
+(cslam/src/Mapping.cpp:42-121 RunClient) plus ``Map::MapTrimming``
+(cslam/src/Map.cpp:857-1063).  The reference runs this on its own thread with
+try-locks against Tracking/Comm; here it is a deterministic step invoked
+right after each keyframe insertion — same work, snapshot semantics instead
+of locks (the multi-agent runtime interleaves these steps explicitly).
+
+Stage mapping:
+  MapPointCullingClient (:704)   -> cull_mappoints()
+  CreateNewMapPoints (:284-469)  -> triangulate_new_points()
+  SearchInNeighbors (:471-547)   -> fuse_neighbors()
+  Map::MapTrimming               -> trim_keyframes()
+  LocalBundleAdjustmentClient    -> local_ba()
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..models import map_store as ms
+from ..ops import initializer as init_ops
+from ..ops import matching
+from ..solvers import ba
+from ..solvers.reproj import level_sigma2
+from .tracking import apply_ba_result, build_ba_problem
+
+NO_MP = ms.NO_MP
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cull_mappoints(m: ms.MapState, cur_kf_id, cfg: SystemConfig):
+    """Recent-landmark culling (MapPointCullingClient semantics): erase
+    landmarks with found/visible < 0.25, or older than 2 KFs with <= 2
+    observations."""
+    mps = m.mps
+    alive = mps.valid & ~mps.bad
+    found_ratio = mps.n_found.astype(jnp.float32) / jnp.clip(
+        mps.n_visible.astype(jnp.float32), 1.0
+    )
+    age = cur_kf_id - mps.first_kf_id
+    bad1 = found_ratio < 0.25
+    bad2 = (age >= 2) & (mps.obs_n <= 2)
+    recent = age <= 3  # only recently created landmarks are on trial
+    kill = alive & recent & (bad1 | bad2)
+    return ms.erase_mappoints(m, kill), jnp.sum(kill)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
+def triangulate_new_points(
+    m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10, next_mp_id=None
+):
+    """Epipolar search + triangulation against the top covisible neighbors
+    (CreateNewMapPoints).  Returns (map', n_created)."""
+    kfs = m.kfs
+    N = kfs.n_feat
+    sf = cfg.extractor.scale_factor
+
+    W = ms.covisibility_matrix(m)
+    nbr_idx, nbr_w, _ = ms.covis_neighbors(W, kf_idx, n_neighbors, min_weight=1)
+
+    R1 = kfs.R_cw[kf_idx]
+    t1 = kfs.t_cw[kf_idx]
+    O1 = -(R1.T @ t1)
+    total_created = jnp.int32(0)
+    if next_mp_id is None:
+        next_mp_id = m.next_mp
+
+    K_mat = cam.K
+
+    def one_neighbor(carry, nb_and_w):
+        m, total = carry
+        nb, w_nb = nb_and_w
+        kfs = m.kfs
+        R2 = kfs.R_cw[nb]
+        t2 = kfs.t_cw[nb]
+        O2 = -(R2.T @ t2)
+
+        # baseline / scene-depth ratio gate (Mapping.cpp:316-325)
+        baseline = jnp.linalg.norm(O2 - O1)
+        # median depth of neighbor's landmarks as scene depth proxy
+        mp_nb = kfs.mp_idx[nb]
+        has_nb = mp_nb >= 0
+        z_nb = ((R2 @ m.mps.pos[jnp.clip(mp_nb, 0, m.mps.capacity - 1)].T).T + t2)[:, 2]
+        med_depth = jnp.nanmedian(jnp.where(has_nb, z_nb, jnp.nan))
+        med_depth = jnp.where(jnp.isfinite(med_depth) & (med_depth > 0), med_depth, 1.0)
+        nb_ok = (w_nb > 0) & (nb != kf_idx) & (baseline / med_depth > 0.01)
+
+        # With Xc1 = R12 Xc2 + t12 the epipolar constraint is
+        # x1^T F x2 = 0 for F = K^-T [t12]x R12 K^-1, so lines in image 2 are
+        # l2 = F^T x1 = x1 @ F — exactly what epipolar_line_dist2 computes.
+        R12 = R1 @ R2.T
+        t12 = t1 - (R12 @ t2)
+        E = jnp.array(
+            [[0.0, -t12[2], t12[1]], [t12[2], 0.0, -t12[0]], [-t12[1], t12[0], 0.0]]
+        ) @ R12
+        Kinv = jnp.linalg.inv(K_mat)
+        F_for_mask = Kinv.T @ E @ Kinv
+
+        free1 = kfs.feat_valid[kf_idx] & (kfs.mp_idx[kf_idx] < 0)
+        free2 = kfs.feat_valid[nb] & (kfs.mp_idx[nb] < 0)
+        s2_2 = level_sigma2(kfs.octave[nb], sf)
+        idx2, dist, okm = matching.search_for_triangulation(
+            kfs.desc[kf_idx], free1 & nb_ok, kfs.xy[kf_idx], kfs.angle[kf_idx],
+            level_sigma2(kfs.octave[kf_idx], sf),
+            kfs.desc[nb], free2, kfs.xy[nb], kfs.angle[nb], s2_2,
+            F_for_mask,
+        )
+
+        # triangulate matched pairs
+        P1 = K_mat @ jnp.concatenate([R1, t1[:, None]], 1)
+        P2 = K_mat @ jnp.concatenate([R2, t2[:, None]], 1)
+        p1 = kfs.xy[kf_idx]
+        p2 = kfs.xy[nb][jnp.clip(idx2, 0, N - 1)]
+        X = init_ops.triangulate(P1, P2, p1, p2)
+
+        # acceptance gates (Mapping.cpp:388-457)
+        Xc1 = (R1 @ X.T).T + t1
+        Xc2 = (R2 @ X.T).T + t2
+        z1, z2 = Xc1[:, 2], Xc2[:, 2]
+        r1 = jnp.stack(
+            [cam.fx * Xc1[:, 0] / jnp.clip(z1, 1e-9) + cam.cx - p1[:, 0],
+             cam.fy * Xc1[:, 1] / jnp.clip(z1, 1e-9) + cam.cy - p1[:, 1]], -1
+        )
+        r2 = jnp.stack(
+            [cam.fx * Xc2[:, 0] / jnp.clip(z2, 1e-9) + cam.cx - p2[:, 0],
+             cam.fy * Xc2[:, 1] / jnp.clip(z2, 1e-9) + cam.cy - p2[:, 1]], -1
+        )
+        s2_1v = level_sigma2(kfs.octave[kf_idx], sf)
+        s2_2v = s2_2[jnp.clip(idx2, 0, N - 1)]
+        ray1 = X - O1
+        ray2 = X - O2
+        cos_par = jnp.sum(ray1 * ray2, -1) / jnp.clip(
+            jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12
+        )
+        d1 = jnp.linalg.norm(ray1, axis=-1)
+        d2 = jnp.linalg.norm(ray2, axis=-1)
+        ratio_dist = d2 / jnp.clip(d1, 1e-9)
+        oct1 = kfs.octave[kf_idx]
+        oct2 = kfs.octave[nb][jnp.clip(idx2, 0, N - 1)]
+        ratio_oct = jnp.power(sf, (oct1 - oct2).astype(jnp.float32))
+        ratio_factor = 1.5 * sf
+        good = (
+            okm
+            & nb_ok
+            & jnp.all(jnp.isfinite(X), -1)
+            & (z1 > 0)
+            & (z2 > 0)
+            & (cos_par < 0.9998)
+            & (jnp.sum(r1 * r1, -1) < 5.991 * s2_1v)
+            & (jnp.sum(r2 * r2, -1) < 5.991 * s2_2v)
+            & (ratio_dist * ratio_factor > ratio_oct)
+            & (ratio_dist < ratio_oct * ratio_factor)
+        )
+
+        # allocate landmarks
+        dist1 = d1
+        lsf = jnp.power(sf, oct1.astype(jnp.float32))
+        max_d = dist1 * lsf
+        min_d = max_d / (sf ** (cfg.extractor.n_levels - 1))
+        normal = (ray1 / jnp.clip(d1[:, None], 1e-9) + ray2 / jnp.clip(d2[:, None], 1e-9))
+        normal = normal / jnp.clip(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+        m, new_idx = ms.add_mappoints(
+            m,
+            n_new=jnp.sum(good),
+            pos=X,
+            desc=kfs.desc[kf_idx],
+            normal=normal,
+            min_dist=min_d,
+            max_dist=max_d,
+            ref_kf=jnp.full((N,), kf_idx, jnp.int32),
+            mp_ids=next_mp_id + total + jnp.cumsum(good.astype(jnp.int32)) - 1,
+            client_id=jnp.full((N,), 0, jnp.int32),
+            new_valid=good,
+        )
+        # forward links in both keyframes (collision-free: feature slots unique)
+        kfs2 = m.kfs
+        mp_row1 = kfs2.mp_idx[kf_idx]
+        mp_row1 = jnp.where(good, new_idx, mp_row1)
+        feat2 = jnp.where(good, idx2, N - 1)
+        row2 = kfs2.mp_idx[nb]
+        delta2 = jnp.where(good, new_idx - row2[feat2], 0)
+        mp_row2 = row2.at[feat2].add(delta2)
+        kfs2 = kfs2.replace(
+            mp_idx=kfs2.mp_idx.at[kf_idx].set(mp_row1).at[nb].set(mp_row2)
+        )
+        m = m.replace(kfs=kfs2)
+        # reverse obs for the two keyframes
+        m = ms.register_observations(m, kf_idx, jnp.where(good, new_idx, NO_MP))
+        m = ms.register_observations(m, nb, jnp.where(good, new_idx, NO_MP))
+        return (m, total + jnp.sum(good)), None
+
+    for i in range(n_neighbors):
+        (m, total_created), _ = one_neighbor((m, total_created), (nbr_idx[i], nbr_w[i]))
+
+    m = ms.update_normal_and_depth(m, sf, cfg.extractor.n_levels)
+    return m, total_created
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
+def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10):
+    """Duplicate-landmark fusion with covisible neighbors (SearchInNeighbors
+    + ORBmatcher::Fuse): project each neighbor's landmarks into the target
+    keyframe; a hit on a free feature adds an observation, a hit on an
+    occupied feature merges the two landmarks (more-observed one wins)."""
+    sf = cfg.extractor.scale_factor
+    W = ms.covisibility_matrix(m)
+    nbr_idx, nbr_w, _ = ms.covis_neighbors(W, kf_idx, n_neighbors, min_weight=1)
+
+    def fuse_into(m: ms.MapState, target_kf, cand_mask):
+        """Project candidate landmarks into target_kf and fuse."""
+        kfs, mps = m.kfs, m.mps
+        N = kfs.n_feat
+        R = kfs.R_cw[target_kf]
+        t = kfs.t_cw[target_kf]
+        Xc = (R @ mps.pos.T).T + t
+        z = Xc[:, 2]
+        uv = jnp.stack(
+            [cam.fx * Xc[:, 0] / jnp.clip(z, 1e-6) + cam.cx,
+             cam.fy * Xc[:, 1] / jnp.clip(z, 1e-6) + cam.cy], -1
+        )
+        Ow = -(R.T @ t)
+        view = mps.pos - Ow
+        dist3 = jnp.linalg.norm(view, axis=-1)
+        cosv = jnp.sum(view * mps.normal, -1) / jnp.clip(dist3, 1e-9)
+        ok = (
+            cand_mask
+            & mps.valid
+            & ~mps.bad
+            & (z > 0)
+            & cam.in_bounds(uv)
+            & (dist3 >= 0.8 * mps.min_dist)
+            & (dist3 <= 1.2 * mps.max_dist)
+            & (cosv > 0.5)
+        )
+        pred_oct = matching.predict_octave(dist3, mps.max_dist, sf, cfg.extractor.n_levels)
+        radius = 3.0 * jnp.power(sf, pred_oct.astype(jnp.float32))
+        t_idx, dmin, okm = matching.match_in_window(
+            uv, mps.desc, ok, kfs.xy[target_kf], kfs.desc[target_kf],
+            kfs.feat_valid[target_kf],
+            radius=radius, th_dist=matching.TH_LOW, nn_ratio=1.0,
+            t_octave=kfs.octave[target_kf], octave_min=pred_oct - 1, octave_max=pred_oct + 1,
+        )
+        okm = matching._unique_target(t_idx, dmin, okm, N)
+
+        existing = kfs.mp_idx[target_kf][jnp.clip(t_idx, 0, N - 1)]
+        Mcap = mps.capacity
+        self_ids = jnp.arange(Mcap, dtype=jnp.int32)
+        # case A: free feature -> new association
+        free_hit = okm & (existing < 0)
+        row = kfs.mp_idx[target_kf]
+        tsafe = jnp.where(free_hit, t_idx, N - 1)
+        delta = jnp.where(free_hit, self_ids - row[tsafe], 0)
+        row = row.at[tsafe].add(delta)
+        m = m.replace(kfs=kfs.replace(mp_idx=kfs.mp_idx.at[target_kf].set(row)))
+        # case B: occupied -> merge; keep the landmark with more observations
+        dup_hit = okm & (existing >= 0) & (existing != self_ids)
+        ex_safe = jnp.clip(existing, 0, Mcap - 1)
+        cand_wins = mps.obs_n[self_ids] > mps.obs_n[ex_safe]
+        loser = jnp.where(dup_hit, jnp.where(cand_wins, ex_safe, self_ids), -1)
+        winner = jnp.where(dup_hit, jnp.where(cand_wins, self_ids, ex_safe), -1)
+        m = ms.replace_mappoints(m, loser, winner)
+        return m, jnp.sum(free_hit), jnp.sum(dup_hit)
+
+    # candidates: union of neighbors' landmarks, projected into kf_idx
+    cand = jnp.zeros((m.mps.capacity,), bool)
+    for i in range(n_neighbors):
+        nb = nbr_idx[i]
+        row = m.kfs.mp_idx[nb]
+        has = (row >= 0) & (nbr_w[i] > 0)
+        cand = cand.at[jnp.clip(row, 0, m.mps.capacity - 1)].max(has)
+    # exclude landmarks already in the target
+    own = m.kfs.mp_idx[kf_idx]
+    cand = cand.at[jnp.clip(own, 0, m.mps.capacity - 1)].min(~(own >= 0))
+    m, n_add, n_merge = fuse_into(m, kf_idx, cand)
+
+    # reverse direction: project the target's landmarks into each neighbor
+    own2 = m.kfs.mp_idx[kf_idx]
+    own_mask = jnp.zeros((m.mps.capacity,), bool).at[
+        jnp.clip(own2, 0, m.mps.capacity - 1)
+    ].max(own2 >= 0)
+    for i in range(n_neighbors):
+        nb = nbr_idx[i]
+        mm, a, g = fuse_into(m, nb, own_mask & (nbr_w[i] > 0))
+        m = mm
+        n_add = n_add + a
+        n_merge = n_merge + g
+
+    m = ms.update_normal_and_depth(m, sf, cfg.extractor.n_levels)
+    m = ms.compute_distinctive_descriptors(m)
+    return m, n_add, n_merge
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trim_keyframes(m: ms.MapState, cfg: SystemConfig):
+    """Client local-map bound (Map::MapTrimming): keep the newest
+    LocalMapSize keyframes by insertion order, erase the rest (entities must
+    be sent+acked before trimming in the multi-agent runtime — the
+    communicator masks `trimmable` accordingly before calling this)."""
+    kfs = m.kfs
+    alive = kfs.valid & ~kfs.bad
+    n_alive = jnp.sum(alive)
+    order = jnp.where(alive, kfs.insert_order, -1)
+    rank = jnp.sum(order[:, None] < order[None, :], axis=1)  # bigger = older
+    keep = rank < cfg.mapping.local_map_size
+    kill = alive & ~keep
+    m = ms.erase_keyframes(m, kill)
+    # landmarks that lost all observations die with their keyframes
+    orphan = m.mps.valid & ~m.mps.bad & (m.mps.obs_n == 0)
+    m = ms.erase_mappoints(m, orphan)
+    return m, jnp.sum(kill)
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def local_ba(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, iters: int = 15):
+    """Local BA: the new keyframe + all its covisible neighbors are free,
+    every other keyframe observing their landmarks is a fixed anchor
+    (LocalBundleAdjustmentClient, Optimizer.cpp:349-644); afterwards,
+    observations failing the chi2 gate are detached."""
+    W = ms.covisibility_matrix(m)
+    # local = the new KF + its covisibility-graph neighbors at the standard
+    # weight>=15 threshold (KeyFrame covisibility rule) — everything else
+    # observing local landmarks stays a FIXED anchor, which is what pins the
+    # monocular gauge (scale included) to the rest of the map
+    local = W[kf_idx] >= 15
+    local = local.at[kf_idx].set(True)
+    # the two oldest alive keyframes always stay fixed (reference fixes
+    # KF0/KF1, Optimizer.cpp:412-418)
+    alive = m.kfs.valid & ~m.kfs.bad
+    order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
+    oldest2 = jnp.argsort(order)[:2]
+    local = local.at[oldest2].set(False)
+    fixed = ~local
+
+    prob = build_ba_problem(m, cam, fixed_mask=fixed)
+    R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
+    m = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
+
+    # outlier observation removal
+    good_obs = ba.classify_outliers(prob, R, t, X)
+    bad_obs = prob.obs_valid & ~good_obs
+    # detach: forward links (kf, feat) -> NO_MP for bad observations
+    kf = jnp.clip(m.mps.obs_kf, 0, m.kfs.capacity - 1)
+    feat = jnp.clip(m.mps.obs_feat, 0, m.kfs.n_feat - 1)
+    cur = m.kfs.mp_idx[kf, feat]
+    target_mp = jnp.broadcast_to(
+        jnp.arange(m.mps.capacity, dtype=jnp.int32)[:, None], bad_obs.shape
+    )
+    still_linked = cur == target_mp
+    rm = bad_obs & still_linked
+    delta = jnp.where(rm, NO_MP - cur, 0)
+    mp_idx2 = m.kfs.mp_idx.at[kf, feat].add(delta)
+    m = m.replace(kfs=m.kfs.replace(mp_idx=mp_idx2))
+    m = ms.rebuild_observations(m)
+    return m, cost, n_good

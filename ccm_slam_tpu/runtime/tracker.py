@@ -1,0 +1,273 @@
+"""Host-side per-agent front-end driver: the state machine that strings the
+jitted tracking/mapping stages into a visual-odometry pipeline.
+
+Corresponds to the control flow of ``Tracking::Track`` (cslam/src/
+Tracking.cpp:126-287) plus the client ``LocalMapping`` loop invoked per new
+keyframe.  Only scalar counters cross the host boundary per frame; all array
+state stays on device.
+
+Tracking-loss policy matches the reference: reset if lost before
+``init_kfs`` keyframes after initialization, else permanently LOST — there is
+no relocalization (Tracking.cpp:187-191,248-259; PnPsolver is dead code in
+the reference)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..models import map_store as ms
+from ..ops import orb
+from ..utils.camera import Camera
+from ..utils.lie import SE3
+from . import mapping, tracking
+from .frame import Frame, build_frame
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+@dataclass
+class TrajectoryEntry:
+    timestamp: float
+    R_cw: object
+    t_cw: object
+
+
+@dataclass
+class Tracker:
+    cfg: SystemConfig
+    cam: Camera
+    client_id: int = 0
+    state: int = NOT_INITIALIZED
+    map: Optional[ms.MapState] = None
+    ref_frame: Optional[Frame] = None      # init reference
+    last_frame: Optional[Frame] = None
+    vel_R: object = None
+    vel_t: object = None
+    has_velocity: bool = False
+    ref_kf: int = 0
+    next_kf_id: int = 0
+    frames_since_kf: int = 0
+    kfs_since_init: int = 0
+    n_lost_frames: int = 0
+    prev_inliers: int = 0
+    trajectory: list = field(default_factory=list)
+    kf_events: list = field(default_factory=list)  # new-KF arena idx stream (for comm/mapping)
+    rng: object = None
+    enable_mapping: bool = True
+    enable_trimming: bool = False  # standalone eval keeps the full map
+    stats: dict = field(default_factory=lambda: {"kf_created": 0, "mp_created": 0})
+
+    def __post_init__(self):
+        if self.rng is None:
+            self.rng = jax.random.PRNGKey(42 + self.client_id)
+
+    # -- public API ---------------------------------------------------------
+
+    def process_image(self, img, timestamp: float):
+        ex = self.cfg.extractor
+        nf = ex.n_features * (ex.init_features_factor if self.state == NOT_INITIALIZED else 1)
+        nf = min(nf, self.cfg.capacity.max_keypoints)
+        feats = orb.extract(
+            img,
+            n_features=nf,
+            n_levels=ex.n_levels,
+            scale_factor=ex.scale_factor,
+            ini_th=float(ex.ini_th_fast),
+            min_th=float(ex.min_th_fast),
+            cell=ex.cell_size,
+            capacity=self.cfg.capacity.max_keypoints,
+        )
+        frame = build_frame(feats, self.cam, timestamp, ex.scale_factor)
+        return self.process_frame(frame)
+
+    def process_frame(self, frame: Frame):
+        """Returns the tracked Frame (pose populated) or None before init."""
+        if self.state == NOT_INITIALIZED:
+            return self._initialize(frame)
+        if self.state == LOST:
+            self.trajectory.append(None)
+            return None
+        return self._track(frame)
+
+    # -- initialization -----------------------------------------------------
+
+    def _initialize(self, frame: Frame):
+        if self.ref_frame is None or int(frame.n) < 100:
+            self.ref_frame = frame if int(frame.n) >= 100 else None
+            self.trajectory.append(None)
+            return None
+        idx, ok, n = tracking.match_for_initialization(self.ref_frame, frame, self.cfg)
+        if int(n) < 100:
+            # too few matches: restart from this frame (Tracking.cpp:317)
+            self.ref_frame = frame
+            self.trajectory.append(None)
+            return None
+        self.rng, key = jax.random.split(self.rng)
+        m, f_ref, f_cur, success, n_good = tracking.initialize_map(
+            key, self.ref_frame, frame, idx, ok, self.cam, self.cfg
+        )
+        if not bool(success) or int(n_good) < 80:
+            self.trajectory.append(None)
+            return None
+        self.map = m
+        self.state = OK
+        self.last_frame = f_cur
+        self.ref_kf = 1
+        self.next_kf_id = 2
+        self.frames_since_kf = 0
+        self.kfs_since_init = 0
+        self.has_velocity = False
+        self.stats["kf_created"] += 2
+        self.stats["mp_created"] += int(n_good)
+        self.kf_events.extend([0, 1])
+        self.trajectory.append(
+            TrajectoryEntry(float(frame.timestamp), f_cur.R_cw, f_cur.t_cw)
+        )
+        return f_cur
+
+    # -- per-frame tracking -------------------------------------------------
+
+    def _track(self, frame: Frame):
+        cfg = self.cfg
+        t = cfg.tracking
+        n_inliers = 0
+        tracked = None
+
+        if self.has_velocity:
+            f2, n_match, n_in = tracking.track_with_motion_model(
+                self.map, frame, self.last_frame, self.vel_R, self.vel_t, self.cam, cfg
+            )
+            if int(n_match) < t.motion_model_inlier_thres_search:
+                # widen the window once (reference retries with th*2)
+                f2, n_match, n_in = tracking.track_with_motion_model(
+                    self.map, frame, self.last_frame, self.vel_R, self.vel_t,
+                    self.cam, cfg, window_factor=2.0,
+                )
+            if int(n_in) >= t.motion_model_inlier_thres_opt:
+                tracked = f2
+                n_inliers = int(n_in)
+
+        if tracked is None:
+            # fall back to reference-KF tracking from the last pose
+            frame_init = frame.replace(
+                R_cw=self.last_frame.R_cw, t_cw=self.last_frame.t_cw
+            )
+            f2, n_match, n_in = tracking.track_reference_kf(
+                self.map, frame_init, jnp.int32(self.ref_kf), self.cam, cfg
+            )
+            if int(n_match) >= t.ref_kf_inlier_thres_search and int(n_in) >= t.ref_kf_inlier_thres_opt:
+                tracked = f2
+                n_inliers = int(n_in)
+
+        if tracked is None:
+            return self._handle_lost(frame)
+
+        # local-map refinement; when associations collapsed relative to the
+        # previous frame, re-search with a widened window from the refined
+        # pose (the multi-octave reference gets this leniency from its coarse
+        # pyramid levels; a single re-search restores dropped associations)
+        self.map, f3, n_in3 = tracking.track_local_map(self.map, tracked, self.cam, cfg)
+        if int(n_in3) < max(t.local_map_inlier_thres, 0.5 * self.prev_inliers):
+            self.map, f3b, n_in3b = tracking.track_local_map(
+                self.map, f3, self.cam, cfg, window_factor=3.0
+            )
+            if int(n_in3b) > int(n_in3):
+                f3, n_in3 = f3b, n_in3b
+        if int(n_in3) < t.matches_inliers_thres:
+            return self._handle_lost(frame)
+        tracked = f3
+        n_inliers = int(n_in3)
+        self.prev_inliers = n_inliers
+
+        # velocity update + bookkeeping
+        self.vel_R, self.vel_t = tracking.motion_velocity(tracked, self.last_frame)
+        self.has_velocity = True
+        self.last_frame = tracked
+        self.frames_since_kf += 1
+        self.trajectory.append(
+            TrajectoryEntry(float(tracked.timestamp), tracked.R_cw, tracked.t_cw)
+        )
+
+        # keyframe decision (NeedNewKeyFrame, Tracking.cpp:662)
+        ref_n = int(jnp.sum(self.map.kfs.mp_idx[self.ref_kf] >= 0))
+        need = self.frames_since_kf >= t.max_frames or (
+            n_inliers < ref_n * t.th_ref_ratio and n_inliers > t.matches_inliers_thres
+        )
+        if need and int(self.map.next_kf) < self.cfg.capacity.client_max_kfs - 1:
+            self._create_keyframe(tracked)
+        return tracked
+
+    def _create_keyframe(self, frame: Frame):
+        cfg = self.cfg
+        self.map, k = tracking.create_keyframe(
+            self.map, frame, jnp.int32(self.next_kf_id), jnp.int32(self.client_id), cfg
+        )
+        k = int(k)
+        self.ref_kf = k
+        self.next_kf_id += 1
+        self.frames_since_kf = 0
+        self.kfs_since_init += 1
+        self.stats["kf_created"] += 1
+        self.kf_events.append(k)
+
+        if self.enable_mapping:
+            self.map, n_culled = mapping.cull_mappoints(
+                self.map, jnp.int32(self.next_kf_id - 1), cfg
+            )
+            self.map, n_new = mapping.triangulate_new_points(
+                self.map, jnp.int32(k), self.cam, cfg
+            )
+            self.stats["mp_created"] += int(n_new)
+            self.map, _, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+            if self.enable_trimming:
+                self.map, _ = mapping.trim_keyframes(self.map, cfg)
+            self.map, cost, n_good = mapping.local_ba(self.map, jnp.int32(k), self.cam, cfg)
+            # second fuse pass on the refined geometry: landmarks whose
+            # depth error pushed them outside the tight pre-BA fuse window
+            # get re-observed in the new KF, then a short BA refines them
+            self.map, n_re, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+            if int(n_re) > 0:
+                self.map, cost, n_good = mapping.local_ba(
+                    self.map, jnp.int32(k), self.cam, cfg, iters=8
+                )
+            # re-anchor the tracking frame on the refined pose; the BA
+            # correction is small, so the velocity stays usable
+            self.last_frame = self.last_frame.replace(
+                R_cw=self.map.kfs.R_cw[k], t_cw=self.map.kfs.t_cw[k]
+            )
+
+        # arena pressure: compact when cursors approach capacity
+        cap = self.cfg.capacity
+        if int(self.map.next_kf) > cap.client_max_kfs - 4 or int(
+            self.map.next_mp
+        ) > cap.client_max_mps - 2 * cap.max_keypoints:
+            self.map = ms.compact_map(self.map)
+            self.ref_kf = self._find_kf_slot(self.next_kf_id - 1)
+
+    def _find_kf_slot(self, kf_id: int) -> int:
+        ids = self.map.kfs.kf_id
+        alive = self.map.kfs.valid & ~self.map.kfs.bad
+        hit = jnp.where(alive & (ids == kf_id), jnp.arange(ids.shape[0]), -1)
+        return int(jnp.max(hit))
+
+    def _handle_lost(self, frame: Frame):
+        if self.kfs_since_init < self.cfg.tracking.init_kfs:
+            # young map: full reset (Tracking.cpp:248-259)
+            self.state = NOT_INITIALIZED
+            self.map = None
+            self.ref_frame = None
+            self.last_frame = None
+            self.has_velocity = False
+            self.kf_events.append(-1)  # reset marker
+        else:
+            self.state = LOST
+        self.n_lost_frames += 1
+        self.trajectory.append(None)
+        return None

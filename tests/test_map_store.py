@@ -183,3 +183,49 @@ class TestDerived:
 
         m = step(fresh())
         assert int(m.next_kf) == 1 and int(m.next_mp) == 4
+
+
+class TestCompaction:
+    def test_compact_map_remaps(self):
+        m = fresh()
+        m, mp_idx = add_mps(m, 4)
+        a0 = jnp.full((N_FEAT,), ms.NO_MP).at[0].set(0).at[1].set(2)
+        a1 = jnp.full((N_FEAT,), ms.NO_MP).at[0].set(2).at[1].set(3)
+        m, k0 = add_kf(m, 0, mp_assoc=a0)
+        m, k1 = add_kf(m, 1, mp_assoc=a1)
+        # erase kf0 and landmarks 0,1 -> after compaction: 1 KF, landmarks 2,3
+        m = ms.erase_keyframes(m, jnp.zeros(K_CAP, bool).at[k0].set(True))
+        m = ms.erase_mappoints(m, jnp.zeros(M_CAP, bool).at[0].set(True).at[1].set(True))
+        m2 = ms.compact_map(m)
+        assert int(m2.next_kf) == 1
+        # landmark 1 (id) had no obs from kf1 -> dropped too; 2 and 3 survive
+        assert int(m2.next_mp) == 2
+        # surviving KF is old kf1 with id 1
+        assert int(m2.kfs.kf_id[0]) == 1
+        # forward links of new kf0 point to compacted landmark slots
+        mp0 = int(m2.kfs.mp_idx[0, 0])  # was landmark id 2
+        mp1 = int(m2.kfs.mp_idx[0, 1])  # was landmark id 3
+        assert mp0 >= 0 and mp1 >= 0
+        assert int(m2.mps.mp_id[mp0]) == 2
+        assert int(m2.mps.mp_id[mp1]) == 3
+        # reverse obs consistent
+        assert int(m2.mps.obs_kf[mp0, 0]) == 0
+        assert int(m2.mps.obs_n[mp0]) == 1
+
+    def test_compact_keeps_consistency(self):
+        m = fresh()
+        m, _ = add_mps(m, 6)
+        for i in range(4):
+            assoc = jnp.full((N_FEAT,), ms.NO_MP).at[0].set(i).at[1].set((i + 1) % 6)
+            m, _ = add_kf(m, i, mp_assoc=assoc)
+        m = ms.erase_keyframes(m, jnp.zeros(K_CAP, bool).at[1].set(True))
+        m2 = ms.compact_map(m)
+        # every forward link has a matching reverse observation
+        kfs, mps = m2.kfs, m2.mps
+        for k in range(int(m2.next_kf)):
+            for f in range(N_FEAT):
+                mp = int(kfs.mp_idx[k, f])
+                if mp >= 0:
+                    obs = np.asarray(mps.obs_kf[mp][: int(mps.obs_n[mp])])
+                    feats = np.asarray(mps.obs_feat[mp][: int(mps.obs_n[mp])])
+                    assert any((obs == k) & (feats == f)), (k, f, mp, obs, feats)
