@@ -103,6 +103,34 @@ def _build_normal_blocks(prob: BAProblem, R, t, X, huber_delta):
     return U, V, W, g_c, g_p, ci
 
 
+def inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / determinant): much faster
+    on TPU than the general batched LU in jnp.linalg.inv."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
+    )
+    return adj / det[..., None, None]
+
+
 def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
     """One damped Schur solve: returns (delta_c [C,6], delta_p [P,3])."""
     C = U.shape[0]
@@ -111,7 +139,7 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
     # damping (multiplicative on diagonals, additive floor for empty blocks)
     U_d = U + (lam * jnp.diagonal(U, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(6)
     V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
-    Vinv = jnp.linalg.inv(V_d)  # [P,3,3]
+    Vinv = inv3x3(V_d)  # [P,3,3]
 
     # dense coupling operator: scatter W blocks into [C,P,6,3]
     Wfull = jnp.zeros((C, P, 6, 3), U.dtype)
@@ -133,7 +161,9 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
     b = g_c - jnp.einsum("cpik,pk->ci", WV, g_p)  # [C,6]
     b = jnp.where(inactive.reshape(C, 6), 0.0, b)
 
-    delta_c = jnp.linalg.solve(S, b.reshape(-1)).reshape(C, 6)
+    # S is symmetric positive definite after damping: Cholesky beats LU on TPU
+    L = jnp.linalg.cholesky(S)
+    delta_c = jax.scipy.linalg.cho_solve((L, True), b.reshape(-1)).reshape(C, 6)
     delta_c = jnp.where(prob.cam_fixed[:, None], 0.0, delta_c)
 
     # back-substitute landmarks: delta_p = Vinv (g_p - sum_k W^T delta_c[cam])
