@@ -202,70 +202,85 @@ def triangulate_new_points(
     return m, total_created
 
 
+def fuse_into(
+    m: ms.MapState,
+    target_kf,
+    cand_mask,
+    cam,
+    cfg: SystemConfig,
+    radius_base: float = 3.0,
+    prefer_candidate: bool = False,
+):
+    """Project candidate landmarks into target_kf and fuse (ORBmatcher::Fuse
+    semantics): free feature -> new association; occupied feature -> merge.
+    `prefer_candidate` forces the candidate to win merges regardless of
+    observation count (the loop-closure rule, LoopFinder.cpp:619-644)."""
+    sf = cfg.extractor.scale_factor
+    kfs, mps = m.kfs, m.mps
+    N = kfs.n_feat
+    R = kfs.R_cw[target_kf]
+    t = kfs.t_cw[target_kf]
+    Xc = (R @ mps.pos.T).T + t
+    z = Xc[:, 2]
+    uv = jnp.stack(
+        [cam.fx * Xc[:, 0] / jnp.clip(z, 1e-6) + cam.cx,
+         cam.fy * Xc[:, 1] / jnp.clip(z, 1e-6) + cam.cy], -1
+    )
+    Ow = -(R.T @ t)
+    view = mps.pos - Ow
+    dist3 = jnp.linalg.norm(view, axis=-1)
+    cosv = jnp.sum(view * mps.normal, -1) / jnp.clip(dist3, 1e-9)
+    ok = (
+        cand_mask
+        & mps.valid
+        & ~mps.bad
+        & (z > 0)
+        & cam.in_bounds(uv)
+        & (dist3 >= 0.8 * mps.min_dist)
+        & (dist3 <= 1.2 * mps.max_dist)
+        & (cosv > 0.5)
+    )
+    pred_oct = matching.predict_octave(dist3, mps.max_dist, sf, cfg.extractor.n_levels)
+    radius = radius_base * jnp.power(sf, pred_oct.astype(jnp.float32))
+    t_idx, dmin, okm = matching.match_in_window(
+        uv, mps.desc, ok, kfs.xy[target_kf], kfs.desc[target_kf],
+        kfs.feat_valid[target_kf],
+        radius=radius, th_dist=matching.TH_LOW, nn_ratio=1.0,
+        t_octave=kfs.octave[target_kf], octave_min=pred_oct - 1, octave_max=pred_oct + 1,
+    )
+    okm = matching._unique_target(t_idx, dmin, okm, N)
+
+    existing = kfs.mp_idx[target_kf][jnp.clip(t_idx, 0, N - 1)]
+    Mcap = mps.capacity
+    self_ids = jnp.arange(Mcap, dtype=jnp.int32)
+    # case A: free feature -> new association
+    free_hit = okm & (existing < 0)
+    row = kfs.mp_idx[target_kf]
+    tsafe = jnp.where(free_hit, t_idx, N - 1)
+    delta = jnp.where(free_hit, self_ids - row[tsafe], 0)
+    row = row.at[tsafe].add(delta)
+    m = m.replace(kfs=kfs.replace(mp_idx=kfs.mp_idx.at[target_kf].set(row)))
+    # case B: occupied -> merge; keep the landmark with more observations
+    dup_hit = okm & (existing >= 0) & (existing != self_ids)
+    ex_safe = jnp.clip(existing, 0, Mcap - 1)
+    if prefer_candidate:
+        cand_wins = jnp.ones((Mcap,), bool)
+    else:
+        cand_wins = mps.obs_n[self_ids] > mps.obs_n[ex_safe]
+    loser = jnp.where(dup_hit, jnp.where(cand_wins, ex_safe, self_ids), -1)
+    winner = jnp.where(dup_hit, jnp.where(cand_wins, self_ids, ex_safe), -1)
+    m = ms.replace_mappoints(m, loser, winner)
+    return m, jnp.sum(free_hit), jnp.sum(dup_hit)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
 def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10):
     """Duplicate-landmark fusion with covisible neighbors (SearchInNeighbors
     + ORBmatcher::Fuse): project each neighbor's landmarks into the target
-    keyframe; a hit on a free feature adds an observation, a hit on an
-    occupied feature merges the two landmarks (more-observed one wins)."""
+    keyframe and the target's landmarks into each neighbor."""
     sf = cfg.extractor.scale_factor
     W = ms.covisibility_matrix(m)
     nbr_idx, nbr_w, _ = ms.covis_neighbors(W, kf_idx, n_neighbors, min_weight=1)
-
-    def fuse_into(m: ms.MapState, target_kf, cand_mask):
-        """Project candidate landmarks into target_kf and fuse."""
-        kfs, mps = m.kfs, m.mps
-        N = kfs.n_feat
-        R = kfs.R_cw[target_kf]
-        t = kfs.t_cw[target_kf]
-        Xc = (R @ mps.pos.T).T + t
-        z = Xc[:, 2]
-        uv = jnp.stack(
-            [cam.fx * Xc[:, 0] / jnp.clip(z, 1e-6) + cam.cx,
-             cam.fy * Xc[:, 1] / jnp.clip(z, 1e-6) + cam.cy], -1
-        )
-        Ow = -(R.T @ t)
-        view = mps.pos - Ow
-        dist3 = jnp.linalg.norm(view, axis=-1)
-        cosv = jnp.sum(view * mps.normal, -1) / jnp.clip(dist3, 1e-9)
-        ok = (
-            cand_mask
-            & mps.valid
-            & ~mps.bad
-            & (z > 0)
-            & cam.in_bounds(uv)
-            & (dist3 >= 0.8 * mps.min_dist)
-            & (dist3 <= 1.2 * mps.max_dist)
-            & (cosv > 0.5)
-        )
-        pred_oct = matching.predict_octave(dist3, mps.max_dist, sf, cfg.extractor.n_levels)
-        radius = 3.0 * jnp.power(sf, pred_oct.astype(jnp.float32))
-        t_idx, dmin, okm = matching.match_in_window(
-            uv, mps.desc, ok, kfs.xy[target_kf], kfs.desc[target_kf],
-            kfs.feat_valid[target_kf],
-            radius=radius, th_dist=matching.TH_LOW, nn_ratio=1.0,
-            t_octave=kfs.octave[target_kf], octave_min=pred_oct - 1, octave_max=pred_oct + 1,
-        )
-        okm = matching._unique_target(t_idx, dmin, okm, N)
-
-        existing = kfs.mp_idx[target_kf][jnp.clip(t_idx, 0, N - 1)]
-        Mcap = mps.capacity
-        self_ids = jnp.arange(Mcap, dtype=jnp.int32)
-        # case A: free feature -> new association
-        free_hit = okm & (existing < 0)
-        row = kfs.mp_idx[target_kf]
-        tsafe = jnp.where(free_hit, t_idx, N - 1)
-        delta = jnp.where(free_hit, self_ids - row[tsafe], 0)
-        row = row.at[tsafe].add(delta)
-        m = m.replace(kfs=kfs.replace(mp_idx=kfs.mp_idx.at[target_kf].set(row)))
-        # case B: occupied -> merge; keep the landmark with more observations
-        dup_hit = okm & (existing >= 0) & (existing != self_ids)
-        ex_safe = jnp.clip(existing, 0, Mcap - 1)
-        cand_wins = mps.obs_n[self_ids] > mps.obs_n[ex_safe]
-        loser = jnp.where(dup_hit, jnp.where(cand_wins, ex_safe, self_ids), -1)
-        winner = jnp.where(dup_hit, jnp.where(cand_wins, self_ids, ex_safe), -1)
-        m = ms.replace_mappoints(m, loser, winner)
-        return m, jnp.sum(free_hit), jnp.sum(dup_hit)
 
     # candidates: union of neighbors' landmarks, projected into kf_idx
     cand = jnp.zeros((m.mps.capacity,), bool)
@@ -277,7 +292,7 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
     # exclude landmarks already in the target
     own = m.kfs.mp_idx[kf_idx]
     cand = cand.at[jnp.clip(own, 0, m.mps.capacity - 1)].min(~(own >= 0))
-    m, n_add, n_merge = fuse_into(m, kf_idx, cand)
+    m, n_add, n_merge = fuse_into(m, kf_idx, cand, cam, cfg)
 
     # reverse direction: project the target's landmarks into each neighbor
     own2 = m.kfs.mp_idx[kf_idx]
@@ -286,7 +301,7 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
     ].max(own2 >= 0)
     for i in range(n_neighbors):
         nb = nbr_idx[i]
-        mm, a, g = fuse_into(m, nb, own_mask & (nbr_w[i] > 0))
+        mm, a, g = fuse_into(m, nb, own_mask & (nbr_w[i] > 0), cam, cfg)
         m = mm
         n_add = n_add + a
         n_merge = n_merge + g
