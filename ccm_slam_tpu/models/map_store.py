@@ -561,6 +561,85 @@ def compact_map(m: MapState) -> MapState:
     return m2.replace(mps=mps3)
 
 
+def transform_map(m: MapState, s, R, t) -> MapState:
+    """Apply a Sim3 gauge change S = (s, R, t): world' = S(world).
+
+    Keyframe poses become T_cw' = [R_cw R^T, (t_cw - R_cw R^T t / s) ... ]
+    — derived from T_cw' = se3_of( T_cw.to_sim3() o S^-1 ): rotation
+    R_cw R^T, translation (t_cw - R_cw R^T t)/s after rescaling, landmark
+    positions X' = s R X + t.  (The reference's MapMerger correction loop,
+    cslam/src/MapMerger.cpp:349-395.)"""
+    kfs, mps = m.kfs, m.mps
+    # S^-1 = (1/s, R^T, -R^T t / s)
+    Rt = R.T
+    # T_cw o S^-1 as Sim3: scale 1/s, rotation R_cw R^T,
+    # translation R_cw(-R^T t / s) + t_cw; to SE3: [Rot, trans * s]
+    new_R = kfs.R_cw @ Rt
+    trans_sim = (kfs.R_cw @ (-(Rt @ t) / s)) + kfs.t_cw  # [K,3]
+    new_t = trans_sim * s
+    pos2 = s * (mps.pos @ R.T) + t
+    return m.replace(
+        kfs=kfs.replace(R_cw=new_R, t_cw=new_t, pose_version=kfs.pose_version + 1),
+        mps=mps.replace(pos=pos2, pos_version=mps.pos_version + 1),
+    )
+
+
+def merge_maps(m_into: MapState, m_from: MapState, s, R, t) -> MapState:
+    """Union-map construction (Map merge-ctor, cslam/src/Map.cpp:70-172):
+    append ``m_from``'s entities into ``m_into``'s arenas, transforming them
+    by the Sim3 (s, R, t) that maps m_from's world into m_into's world.
+
+    Both maps should be compacted first; the result reuses m_into's capacity
+    (must fit both).  Returns the fused MapState; m_from keyframe arena index
+    i becomes ``m_into.next_kf + i``, landmarks likewise.
+    """
+    a = m_into
+    b = transform_map(compact_map(m_from), s, R, t)
+    K, M = a.kfs.capacity, a.mps.capacity
+    nk = a.next_kf
+    nm = a.next_mp
+
+    def splice(dst, src, cursor, n_src_cap):
+        """Write src[0:cap] into dst starting at cursor (masked by validity)."""
+        idx = cursor + jnp.arange(n_src_cap)
+        idx_c = jnp.clip(idx, 0, dst.shape[0] - 1)
+        keep = idx < dst.shape[0]
+        cur = dst[idx_c]
+        val = src[: n_src_cap]
+        sel = keep.reshape((n_src_cap,) + (1,) * (val.ndim - 1))
+        return dst.at[idx_c].set(jnp.where(sel, val, cur))
+
+    # remap b's cross-indices by the offsets
+    bk = b.kfs
+    bm = b.mps
+    def off_kf(x):
+        return jnp.where(x >= 0, x + nk, x)
+
+    def off_mp(x):
+        return jnp.where(x >= 0, x + nm, x)
+
+    bk = bk.replace(
+        mp_idx=off_mp(bk.mp_idx), parent=off_kf(bk.parent), loop_edge=off_kf(bk.loop_edge),
+        insert_order=jnp.where(bk.valid, bk.insert_order + a.insert_counter, bk.insert_order),
+    )
+    bm = bm.replace(obs_kf=off_kf(bm.obs_kf), ref_kf=off_kf(bm.ref_kf))
+
+    kfs = a.kfs
+    for f in kfs.__dataclass_fields__:
+        kfs = kfs.replace(**{f: splice(getattr(kfs, f), getattr(bk, f), nk, b.kfs.capacity)})
+    mps = a.mps
+    for f in mps.__dataclass_fields__:
+        mps = mps.replace(**{f: splice(getattr(mps, f), getattr(bm, f), nm, b.mps.capacity)})
+
+    return a.replace(
+        kfs=kfs,
+        mps=mps,
+        next_kf=nk + b.next_kf,
+        next_mp=nm + b.next_mp,
+        insert_counter=a.insert_counter + b.insert_counter,
+    )
+
+
 def compact_observations(m: MapState) -> MapState:
     """Left-pack each landmark's reverse-obs slots (after erasures)."""
     mps = m.mps

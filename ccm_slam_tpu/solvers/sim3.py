@@ -205,11 +205,17 @@ def optimize_sim3(
         b = -J.T @ (r * hw)
         if fix_scale:
             b = b * jnp.ones(7).at[6].set(0.0)
-        H = H + (lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(7))
+        # additive identity floor in the damping: loop keyframes are nearly
+        # co-located (t ~ 0), which makes the Sim3 scale unobservable from
+        # reprojection — a diag-only floor lets the solver take huge
+        # null-space steps that "improve" cost by float noise and destroy
+        # the scale recovered by the 3D-3D RANSAC stage
+        H = H + lam * (jnp.diag(jnp.diag(H)) + jnp.eye(7))
         dx = jnp.linalg.solve(H, b)
         xi_new = dx + xi  # tangent accumulation around S12_init (re-linearized)
         ok = jnp.all(jnp.isfinite(dx))
-        accept = (cost_of(xi_new, inlier) < cost_of(xi, inlier)) & ok
+        c_old = cost_of(xi, inlier)
+        accept = (cost_of(xi_new, inlier) < c_old * (1.0 - 1e-6)) & ok
         xi = jnp.where(accept, xi_new, xi)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         return (xi, lam, inlier), None
