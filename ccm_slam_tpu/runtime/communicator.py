@@ -1,0 +1,307 @@
+"""Client<->server map synchronization: delta messages, acks, relative encoding.
+
+TPU-native re-design of ``Communicator`` + the ``ccmslam_msgs`` wire schema
+(cslam/src/Communicator.cpp, cslam_msgs/msg/*.msg, SURVEY §2.5/§5.8):
+
+* unit of exchange = one ``MapMsg`` pytree per cycle: a fixed-capacity batch
+  of keyframes (full or pose-update-only ~ KF/KFred), landmarks (MP/MPred),
+  ack id arrays and weak acks;
+* keyframe poses are encoded RELATIVE to their predecessor (and parent)
+  keyframe — gauge-robust: the server reconstructs against ITS OWN copy of
+  the predecessor, applying the client->server-map Sim3 scale to the
+  translation (KeyFrame.cpp:1334-1366);
+* landmark positions are encoded in their reference keyframe's camera frame
+  (MapPoint.cpp:1012-1055);
+* reliability: per-entity sent/acked state machines; entities may only be
+  trimmed from the client map once sent AND acked (CanBeForgotten,
+  KeyFrame.cpp:1964-1974); un-decodable receptions trigger weak acks that
+  force a full resend (SetWeakAck/SetSendFull semantics).
+
+The transport itself is a plain Python queue here (single-process
+deterministic testing — the Disturber concept); the multi-host runtime moves
+these same pytrees over jax device-to-host streams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models import map_store as ms
+from ..utils.lie import SE3
+
+
+@struct.dataclass
+class KFMsgBatch:
+    valid: jnp.ndarray      # [B]
+    full: jnp.ndarray       # [B] full message vs pose-update-only (KFred)
+    kf_id: jnp.ndarray      # [B]
+    client_id: jnp.ndarray  # [B]
+    timestamp: jnp.ndarray  # [B]
+    # pose of this KF relative to its predecessor: T_c_pred = T_cw o T_predw^-1
+    R_cpred: jnp.ndarray    # [B,3,3]
+    t_cpred: jnp.ndarray    # [B,3]
+    pred_kf_id: jnp.ndarray  # [B] (-1: none -> absolute pose in R_cpred)
+    # features (full only)
+    xy: jnp.ndarray         # [B,N,2]
+    desc: jnp.ndarray       # [B,N,32]
+    octave: jnp.ndarray     # [B,N]
+    angle: jnp.ndarray      # [B,N]
+    feat_valid: jnp.ndarray  # [B,N]
+    mp_assoc_id: jnp.ndarray  # [B,N] landmark per-agent ids (-1 none)
+
+
+@struct.dataclass
+class MPMsgBatch:
+    valid: jnp.ndarray      # [B]
+    full: jnp.ndarray       # [B]
+    mp_id: jnp.ndarray      # [B]
+    client_id: jnp.ndarray  # [B]
+    pos_ref: jnp.ndarray    # [B,3] position in the reference KF's camera frame
+    ref_kf_id: jnp.ndarray  # [B]
+    desc: jnp.ndarray       # [B,32]
+    normal_ref: jnp.ndarray  # [B,3] normal in ref KF camera frame
+    min_dist: jnp.ndarray   # [B]
+    max_dist: jnp.ndarray   # [B]
+    # observations (MP.msg's 3 parallel arrays): which client keyframes see
+    # this landmark at which feature slot
+    obs_kf_id: jnp.ndarray  # [B,O]
+    obs_feat: jnp.ndarray   # [B,O]
+    obs_valid: jnp.ndarray  # [B,O]
+
+
+@dataclass
+class MapMsg:
+    kfs: KFMsgBatch
+    mps: MPMsgBatch
+    ack_kf_ids: np.ndarray
+    ack_mp_ids: np.ndarray
+    weak_ack_kf_id: int = -1
+    weak_ack_mp_id: int = -1
+    closest_kf_id: int = -1
+    msg_id: int = 0
+
+    @property
+    def empty(self) -> bool:
+        return (
+            not bool(jnp.any(self.kfs.valid))
+            and not bool(jnp.any(self.mps.valid))
+        )
+
+
+@dataclass
+class ClientCommState:
+    """Per-entity send state machine, arena-aligned (client side)."""
+
+    kf_sent: np.ndarray          # version sent so far (-1 = never)
+    kf_acked: np.ndarray         # bool
+    mp_sent: np.ndarray
+    mp_acked: np.ndarray
+    kf_sent_msg: np.ndarray      # msg counter of the last send (retry timer)
+    mp_sent_msg: np.ndarray
+    msg_counter: int = 0
+    resend_after: int = 3        # unacked entities go out again (full) after
+                                 # this many publish cycles
+
+    @classmethod
+    def create(cls, kf_cap: int, mp_cap: int):
+        return cls(
+            kf_sent=np.full(kf_cap, -1, np.int64),
+            kf_acked=np.zeros(kf_cap, bool),
+            mp_sent=np.full(mp_cap, -1, np.int64),
+            mp_acked=np.zeros(mp_cap, bool),
+            kf_sent_msg=np.full(kf_cap, -1, np.int64),
+            mp_sent_msg=np.full(mp_cap, -1, np.int64),
+        )
+
+
+def _relative_pose(m: ms.MapState, k, pred):
+    """T_c_pred = T_cw o T_predw^-1 for arena indices k, pred (pred may be -1
+    -> absolute)."""
+    T_c = SE3(R=m.kfs.R_cw[k], t=m.kfs.t_cw[k])
+    has = pred >= 0
+    p = jnp.clip(pred, 0, m.kfs.capacity - 1)
+    T_p = SE3(R=m.kfs.R_cw[p], t=m.kfs.t_cw[p])
+    T_rel = T_c.compose(T_p.inverse())
+    R = jnp.where(has[..., None, None], T_rel.R, T_c.R)
+    t = jnp.where(has[..., None], T_rel.t, T_c.t)
+    return R, t
+
+
+def publish_client(
+    m: ms.MapState,
+    st: ClientCommState,
+    client_id: int,
+    max_kfs: int,
+    max_mps: int,
+    current_kf_id: int = -1,
+) -> tuple[MapMsg, ClientCommState]:
+    """Drain the out-state into one MapMsg (PublishMapClient,
+    Communicator.cpp:484-634): full messages for never-sent entities,
+    pose/position updates for moved ones, bounded per cycle."""
+    kfs, mps = m.kfs, m.mps
+    K, M, N = kfs.capacity, mps.capacity, kfs.n_feat
+
+    alive_kf = np.asarray(kfs.valid & ~kfs.bad)
+    ver_kf = np.asarray(kfs.pose_version)
+    timeout_kf = (
+        (st.kf_sent >= 0)
+        & ~st.kf_acked
+        & (st.msg_counter - st.kf_sent_msg >= st.resend_after)
+    )
+    need_full_kf = alive_kf & ((st.kf_sent < 0) | timeout_kf)
+    need_upd_kf = alive_kf & ~need_full_kf & (st.kf_sent >= 0) & (ver_kf > st.kf_sent)
+    # oldest-first by kf id (the reference sends in id order)
+    ids_np = np.asarray(kfs.kf_id)
+    order = np.argsort(ids_np)
+    sel_kf = [k for k in order if need_full_kf[k] or need_upd_kf[k]][:max_kfs]
+
+    alive_mp = np.asarray(mps.valid & ~mps.bad)
+    ver_mp = np.asarray(mps.pos_version)
+    timeout_mp = (
+        (st.mp_sent >= 0)
+        & ~st.mp_acked
+        & (st.msg_counter - st.mp_sent_msg >= st.resend_after)
+    )
+    need_full_mp = alive_mp & ((st.mp_sent < 0) | timeout_mp)
+    need_upd_mp = alive_mp & ~need_full_mp & (st.mp_sent >= 0) & (ver_mp > st.mp_sent)
+    sel_mp = np.where(need_full_mp | need_upd_mp)[0][:max_mps]
+
+    B_kf = max_kfs
+    B_mp = max_mps
+    kf_idx = np.full(B_kf, 0, np.int64)
+    kf_valid = np.zeros(B_kf, bool)
+    kf_full = np.zeros(B_kf, bool)
+    for i, k in enumerate(sel_kf):
+        kf_idx[i] = k
+        kf_valid[i] = True
+        kf_full[i] = bool(need_full_kf[k])
+    mp_idx = np.full(B_mp, 0, np.int64)
+    mp_valid = np.zeros(B_mp, bool)
+    mp_full = np.zeros(B_mp, bool)
+    for i, p in enumerate(sel_mp):
+        mp_idx[i] = p
+        mp_valid[i] = True
+        mp_full[i] = bool(need_full_mp[p])
+
+    kf_idx_j = jnp.asarray(kf_idx)
+    mp_idx_j = jnp.asarray(mp_idx)
+
+    # predecessor = alive KF with the largest id smaller than ours
+    ids = jnp.asarray(ids_np)
+    alive_j = kfs.valid & ~kfs.bad
+    own = ids[kf_idx_j]
+    smaller = (ids[None, :] < own[:, None]) & alive_j[None, :]
+    pred_arena = jnp.argmax(jnp.where(smaller, ids[None, :], -1), axis=1)
+    has_pred = jnp.any(smaller, axis=1)
+    pred_arena = jnp.where(has_pred, pred_arena, -1)
+    R_rel, t_rel = _relative_pose(m, kf_idx_j, pred_arena)
+    pred_id = jnp.where(has_pred, ids[jnp.clip(pred_arena, 0, K - 1)], -1)
+
+    # landmark ids for associations
+    assoc = kfs.mp_idx[kf_idx_j]  # [B,N]
+    assoc_safe = jnp.clip(assoc, 0, M - 1)
+    assoc_id = jnp.where(assoc >= 0, mps.mp_id[assoc_safe], -1)
+
+    kf_batch = KFMsgBatch(
+        valid=jnp.asarray(kf_valid),
+        full=jnp.asarray(kf_full),
+        kf_id=ids[kf_idx_j],
+        client_id=jnp.full((B_kf,), client_id, jnp.int32),
+        timestamp=kfs.timestamp[kf_idx_j],
+        R_cpred=R_rel,
+        t_cpred=t_rel,
+        pred_kf_id=pred_id,
+        xy=kfs.xy[kf_idx_j],
+        desc=kfs.desc[kf_idx_j],
+        octave=kfs.octave[kf_idx_j],
+        angle=kfs.angle[kf_idx_j],
+        feat_valid=kfs.feat_valid[kf_idx_j],
+        mp_assoc_id=assoc_id,
+    )
+
+    # landmark relative encoding: camera frame of the reference keyframe
+    ref = jnp.clip(mps.ref_kf[mp_idx_j], 0, K - 1)
+    T_ref = SE3(R=kfs.R_cw[ref], t=kfs.t_cw[ref])
+    pos_ref = T_ref.apply(mps.pos[mp_idx_j])
+    nrm_ref = jnp.einsum("bij,bj->bi", T_ref.R, mps.normal[mp_idx_j])
+    # observations: reverse-obs slots translated to client kf ids
+    O = mps.max_obs
+    obs_kf = mps.obs_kf[mp_idx_j]  # [B,O] arena idx
+    obs_ok = (jnp.arange(O)[None, :] < mps.obs_n[mp_idx_j][:, None]) & (obs_kf >= 0)
+    obs_kf_safe = jnp.clip(obs_kf, 0, K - 1)
+    mp_batch = MPMsgBatch(
+        valid=jnp.asarray(mp_valid),
+        full=jnp.asarray(mp_full),
+        mp_id=mps.mp_id[mp_idx_j],
+        client_id=jnp.full((B_mp,), client_id, jnp.int32),
+        pos_ref=pos_ref,
+        ref_kf_id=kfs.kf_id[ref],
+        desc=mps.desc[mp_idx_j],
+        normal_ref=nrm_ref,
+        min_dist=mps.min_dist[mp_idx_j],
+        max_dist=mps.max_dist[mp_idx_j],
+        obs_kf_id=jnp.where(obs_ok, kfs.kf_id[obs_kf_safe], -1),
+        obs_feat=mps.obs_feat[mp_idx_j],
+        obs_valid=obs_ok,
+    )
+
+    # update the send state
+    st.kf_sent = st.kf_sent.copy()
+    st.mp_sent = st.mp_sent.copy()
+    st.kf_sent_msg = st.kf_sent_msg.copy()
+    st.mp_sent_msg = st.mp_sent_msg.copy()
+    for k in sel_kf:
+        st.kf_sent[k] = ver_kf[k]
+        st.kf_sent_msg[k] = st.msg_counter
+    for p in sel_mp:
+        st.mp_sent[p] = ver_mp[p]
+        st.mp_sent_msg[p] = st.msg_counter
+    st.msg_counter += 1
+    return (
+        MapMsg(
+            kfs=kf_batch,
+            mps=mp_batch,
+            ack_kf_ids=np.zeros(0, np.int64),
+            ack_mp_ids=np.zeros(0, np.int64),
+            closest_kf_id=current_kf_id,
+            msg_id=st.msg_counter,
+        ),
+        st,
+    )
+
+
+def apply_server_acks(st: ClientCommState, m: ms.MapState, msg: MapMsg) -> ClientCommState:
+    """Mark entities acked (MapCbClient ack processing, :228-260); weak acks
+    force a future full resend (SetSendFull)."""
+    ids_kf = np.asarray(m.kfs.kf_id)
+    ids_mp = np.asarray(m.mps.mp_id)
+    st.kf_acked = st.kf_acked.copy()
+    st.mp_acked = st.mp_acked.copy()
+    for a in msg.ack_kf_ids:
+        hits = np.where(ids_kf == a)[0]
+        if len(hits):
+            st.kf_acked[hits[0]] = True
+    for a in msg.ack_mp_ids:
+        hits = np.where(ids_mp == a)[0]
+        if len(hits):
+            st.mp_acked[hits[0]] = True
+    if msg.weak_ack_kf_id >= 0:
+        st.kf_sent = st.kf_sent.copy()
+        resend = (ids_kf <= msg.weak_ack_kf_id) & ~st.kf_acked
+        st.kf_sent[resend] = -1
+    if msg.weak_ack_mp_id >= 0:
+        st.mp_sent = st.mp_sent.copy()
+        resend = (ids_mp <= msg.weak_ack_mp_id) & ~st.mp_acked
+        st.mp_sent[resend] = -1
+    return st
+
+
+def trimmable_mask(m: ms.MapState, st: ClientCommState) -> jnp.ndarray:
+    """CanBeForgotten: sent at least once AND acked (KeyFrame.cpp:1964)."""
+    return jnp.asarray((st.kf_sent >= 0) & st.kf_acked)

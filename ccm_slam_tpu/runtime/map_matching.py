@@ -48,6 +48,7 @@ class MergeResult:
     S_from_to: Sim3      # maps the absorbed map's world into the fused world
     kf_offset: int       # absorbed map's keyframe arena offset in the fused map
     mp_offset: int
+    target_slot: int = -1  # map slot that absorbed the query map
 
 
 @dataclass
@@ -161,7 +162,7 @@ class MapMatcher:
             )
             return MergeResult(
                 fused=fused, S_from_to=S_ba, kf_offset=int(trial_c.next_kf),
-                mp_offset=mp_off,
+                mp_offset=mp_off, target_slot=slot_b,
             )
         return None
 

@@ -1,0 +1,388 @@
+"""Central server: per-agent map ingestion, place recognition, map fusion,
+and the global-BA scheduler with the reference's preemption rules.
+
+TPU-native re-design of ``ServerSystem`` + ``ClientHandler`` + the server
+sides of ``Communicator``/``LocalMapping`` (cslam/src/server/ServerSystem.cpp,
+cslam/src/ClientHandler.cpp, Communicator.cpp:167-226 + 382-482,
+Mapping.cpp:123-196):
+
+* one ``MapState`` arena per agent until maps merge (then agents share a
+  slot), one shared BoW database, one cross-map matcher;
+* message ingestion reconstructs absolute poses through the predecessor
+  chain with the client->server-map Sim3 gauge applied to translations
+  (the relative wire encoding is what makes this work across gauges);
+* GBA runs in small interruptible chunks between ingestion steps —
+  fresh agent data preempts it (INTERRUPTBA), merge-GBA is protected
+  (DONOTINTERRUPTMERGE), and full quiescence triggers the final GBA
+  (FINALBA, Communicator.cpp:444-480);
+* everything is a pure function over pytrees — the reference's all-module
+  lock hierarchy (CentralControl) has no equivalent because there is no
+  shared mutable state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..models import map_store as ms
+from ..ops import bow
+from ..solvers import ba
+from ..utils.camera import Camera
+from ..utils.lie import SE3, Sim3
+from . import mapping as mapping_mod
+from .communicator import MapMsg
+from .loop_closing import LoopFinder
+from .map_matching import MapMatcher
+from .tracking import apply_ba_result, build_ba_problem
+
+
+@dataclass
+class AgentState:
+    client_id: int
+    map_slot: int
+    # client gauge -> server-map gauge (updated on merges; ChangeMap /
+    # mg2oS_wcurmap_wclientmap, ClientHandler.cpp:221-241)
+    S_map_client: Sim3
+    kf_table: dict = field(default_factory=dict)   # client kf_id -> arena idx
+    mp_table: dict = field(default_factory=dict)   # client mp_id -> arena idx
+    pending_kfs: list = field(default_factory=list)  # pred-missing keyframes
+    pending_mps: list = field(default_factory=list)  # ref-missing landmarks
+    last_data_step: int = 0
+    finished: bool = False
+    next_server_kf: int = 0  # ingestion counter for mapping-side bookkeeping
+
+
+@dataclass
+class Server:
+    cfg: SystemConfig
+    cam: Camera
+    vocab: bow.Vocabulary
+    n_agents: int = 4
+    maps: Dict[int, ms.MapState] = field(default_factory=dict)
+    agents: Dict[int, AgentState] = field(default_factory=dict)
+    matcher: MapMatcher = None
+    finders: Dict[int, LoopFinder] = field(default_factory=dict)
+    step_counter: int = 0
+    # GBA scheduling state
+    gba_dirty: Dict[int, bool] = field(default_factory=dict)
+    gba_progress: Dict[int, int] = field(default_factory=dict)
+    final_gba_done: Dict[int, bool] = field(default_factory=dict)
+    quiescence_steps: int = 30
+    gba_chunk_iters: int = 2
+    gba_total_iters: int = 20
+
+    def __post_init__(self):
+        cap = self.cfg.capacity
+        if self.matcher is None:
+            self.matcher = MapMatcher(
+                cfg=self.cfg, cam=self.cam, vocab=self.vocab,
+                n_slots=self.n_agents, kf_capacity=cap.server_max_kfs,
+            )
+        for a in range(self.n_agents):
+            self.maps[a] = ms.empty_map(
+                cap.server_max_kfs, cap.server_max_mps, cap.max_keypoints,
+                cap.max_obs_per_mp,
+            )
+            self.agents[a] = AgentState(
+                client_id=a, map_slot=a, S_map_client=Sim3.identity()
+            )
+            self.finders[a] = LoopFinder(
+                cfg=self.cfg, cam=self.cam, vocab=self.vocab,
+                db=None, map_id=a,
+            )
+            # the per-map loop finder shares the matcher's database view by
+            # using its own db sized to the map arena
+            from ..models import keyframe_db as kdb
+
+            self.finders[a].db = kdb.empty_db(cap.server_max_kfs, self.vocab.n_words)
+            self.gba_dirty[a] = False
+            self.gba_progress[a] = 0
+            self.final_gba_done[a] = False
+
+    # ------------------------------------------------------------------ ingest
+
+    def ingest(self, agent_id: int, msg: MapMsg) -> MapMsg:
+        """Process one client message; returns the ack message
+        (ProcessKfInServer/ProcessMpInServer, Communicator.cpp:815-1139)."""
+        ag = self.agents[agent_id]
+        slot = ag.map_slot
+        m = self.maps[slot]
+        acked_kfs, acked_mps = [], []
+        weak_kf = -1
+
+        if not msg.empty:
+            ag.last_data_step = self.step_counter
+            ag.finished = False
+            # fresh data preempts a running (non-final) GBA: INTERRUPTBA
+            self.gba_progress[slot] = 0
+            self.final_gba_done[slot] = False
+
+        kfb = msg.kfs
+        S_g = ag.S_map_client
+        # pending keyframes first (pred-missing from earlier messages), then
+        # the new batch, all in kf-id order so chains resolve in one pass
+        kf_items = ag.pending_kfs
+        ag.pending_kfs = []
+        for i in range(int(kfb.valid.shape[0])):
+            if bool(kfb.valid[i]):
+                kf_items.append(jax.tree.map(lambda x: x[i], kfb))
+        kf_items.sort(key=lambda it: int(it.kf_id))
+        new_kf_arenas = []
+        for item in kf_items:
+            kf_id = int(item.kf_id)
+            pred_id = int(item.pred_kf_id)
+            # absolute pose reconstruction through the predecessor
+            if pred_id >= 0:
+                if pred_id not in ag.kf_table:
+                    if bool(item.full):
+                        ag.pending_kfs.append(item)  # buffer for retry
+                    weak_kf = max(weak_kf, self._weak_ack_kf(ag))
+                    continue
+                p_arena = ag.kf_table[pred_id]
+                T_pred = SE3(R=m.kfs.R_cw[p_arena], t=m.kfs.t_cw[p_arena])
+                # gauge: scale the relative translation by the client->map Sim3
+                t_rel = item.t_cpred * S_g.s
+                T_abs = SE3(R=item.R_cpred, t=t_rel).compose(T_pred)
+            else:
+                T_c = SE3(R=item.R_cpred, t=item.t_cpred)
+                T_abs = T_c.to_sim3().compose(S_g.inverse()).to_se3_scaled()
+            if kf_id in ag.kf_table:
+                # duplicate or pose update: update pose, re-ack (:830-845)
+                k = ag.kf_table[kf_id]
+                kfs2 = m.kfs.replace(
+                    R_cw=m.kfs.R_cw.at[k].set(T_abs.R),
+                    t_cw=m.kfs.t_cw.at[k].set(T_abs.t),
+                    pose_version=m.kfs.pose_version.at[k].add(1),
+                )
+                m = m.replace(kfs=kfs2)
+                acked_kfs.append(kf_id)
+                continue
+            if not bool(item.full):
+                # update for an unknown keyframe: ask for a full resend
+                weak_kf = max(weak_kf, self._weak_ack_kf(ag))
+                continue
+            # full keyframe: translate landmark ids to arena indices
+            assoc_ids = np.asarray(item.mp_assoc_id)
+            assoc = np.full(assoc_ids.shape[0], -1, np.int32)
+            for j, mid in enumerate(assoc_ids):
+                if mid >= 0 and int(mid) in ag.mp_table:
+                    assoc[j] = ag.mp_table[int(mid)]
+            m, k = ms.add_keyframe(
+                m, jnp.int32(kf_id), jnp.int32(agent_id), item.timestamp,
+                T_abs.R, T_abs.t,
+                item.xy, item.desc, item.octave, item.angle,
+                item.feat_valid, jnp.asarray(assoc),
+            )
+            ag.kf_table[kf_id] = int(k)
+            acked_kfs.append(kf_id)
+            new_kf_arenas.append(int(k))
+            # register in place-recognition databases
+            self.finders[slot].insert_keyframe(m, int(k))
+            self.matcher.insert_keyframe(slot, m, int(k))
+
+        # landmarks: retry previously-buffered ones first (the reference
+        # keeps unprocessable entities in the in-buffer across iterations)
+        mp_items = ag.pending_mps
+        ag.pending_mps = []
+        mpb = msg.mps
+        for i in range(int(mpb.valid.shape[0])):
+            if bool(mpb.valid[i]):
+                mp_items.append(jax.tree.map(lambda x: x[i], mpb))
+        for item in mp_items:
+            m, ok, mp_id = self._ingest_one_mp(ag, m, item, S_g, agent_id)
+            if ok:
+                acked_mps.append(mp_id)
+            else:
+                ag.pending_mps.append(item)
+
+        self.maps[slot] = m
+        self.gba_dirty[slot] = True
+        from .communicator import KFMsgBatch, MPMsgBatch
+
+        empty_kf = jax.tree.map(lambda x: x[:0], msg.kfs)
+        empty_mp = jax.tree.map(lambda x: x[:0], msg.mps)
+        return MapMsg(
+            kfs=empty_kf,
+            mps=empty_mp,
+            ack_kf_ids=np.asarray(acked_kfs, np.int64),
+            ack_mp_ids=np.asarray(acked_mps, np.int64),
+            weak_ack_kf_id=weak_kf,
+        )
+
+    def _weak_ack_kf(self, ag: AgentState) -> int:
+        return max(ag.kf_table.keys(), default=-1)
+
+    def _ingest_one_mp(self, ag: AgentState, m: ms.MapState, item, S_g: Sim3, agent_id: int):
+        """One landmark message -> map update.  Returns (map, ok, mp_id).
+        ok=False means the reference keyframe is not here yet (buffer+retry)."""
+        mp_id = int(item.mp_id)
+        ref_id = int(item.ref_kf_id)
+        if ref_id not in ag.kf_table:
+            return m, False, mp_id
+        r_arena = ag.kf_table[ref_id]
+        T_ref = SE3(R=m.kfs.R_cw[r_arena], t=m.kfs.t_cw[r_arena])
+        # position: camera frame of ref KF, scaled into the map gauge
+        pos_w = T_ref.inverse().apply(item.pos_ref * S_g.s)
+        normal_w = T_ref.R.T @ item.normal_ref
+        if mp_id in ag.mp_table:
+            p = ag.mp_table[mp_id]
+            m = m.replace(
+                mps=m.mps.replace(
+                    pos=m.mps.pos.at[p].set(pos_w),
+                    pos_version=m.mps.pos_version.at[p].add(1),
+                )
+            )
+            p_arena = p
+        else:
+            m, idxs = ms.add_mappoints(
+                m,
+                n_new=jnp.int32(1),
+                pos=pos_w[None, :],
+                desc=item.desc[None, :],
+                normal=normal_w[None, :],
+                min_dist=item.min_dist[None] * S_g.s,
+                max_dist=item.max_dist[None] * S_g.s,
+                ref_kf=jnp.asarray([r_arena], jnp.int32),
+                mp_ids=jnp.asarray([mp_id], jnp.int32),
+                client_id=jnp.asarray([agent_id], jnp.int32),
+                new_valid=jnp.asarray([True]),
+            )
+            p_arena = int(idxs[0])
+            ag.mp_table[mp_id] = p_arena
+        # observation linking: connect to already-present keyframes whose
+        # feature slot is still free (KFs arriving later carry the
+        # association in their own message)
+        obs_ids = np.asarray(item.obs_kf_id)
+        obs_feat = np.asarray(item.obs_feat)
+        obs_ok = np.asarray(item.obs_valid)
+        link_assoc = None
+        for kf_id, feat, okv in zip(obs_ids, obs_feat, obs_ok):
+            if not okv or int(kf_id) not in ag.kf_table:
+                continue
+            k_arena = ag.kf_table[int(kf_id)]
+            if int(m.kfs.mp_idx[k_arena, int(feat)]) >= 0:
+                continue
+            m = m.replace(
+                kfs=m.kfs.replace(
+                    mp_idx=m.kfs.mp_idx.at[k_arena, int(feat)].set(p_arena)
+                )
+            )
+            assoc = jnp.full((m.kfs.n_feat,), ms.NO_MP, jnp.int32).at[int(feat)].set(p_arena)
+            m = ms.register_observations(m, jnp.int32(k_arena), assoc)
+        return m, True, mp_id
+
+    # ------------------------------------------------------------- maintenance
+
+    def mapping_step(self, agent_id: int, new_kf_arena: int):
+        """Server-side per-keyframe maintenance: fuse + loop detection
+        (RunServer, Mapping.cpp:123-196)."""
+        ag = self.agents[agent_id]
+        slot = ag.map_slot
+        m = self.maps[slot]
+        m, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
+        self.maps[slot] = m
+        # intra-map loop closure
+        m2, closed = self.finders[slot].try_close(m, new_kf_arena)
+        self.maps[slot] = m2
+        if closed:
+            self.gba_dirty[slot] = True
+            self.gba_progress[slot] = 0
+        # cross-map matching
+        res = self.matcher.try_match(
+            slot, self.maps[slot], new_kf_arena,
+            {s: mm for s, mm in self.maps.items() if s != slot},
+        )
+        if res is not None:
+            self._apply_merge(slot, res)
+        return closed, res is not None
+
+    def _apply_merge(self, slot_from: int, res):
+        """Absorb slot_from's map into the matched map; re-route its agents
+        (MapMerger::MergeMaps tail + ClientHandler::ChangeMap)."""
+        target_slot = res.target_slot
+        if target_slot is None or target_slot < 0 or target_slot not in self.maps:
+            return
+        self.maps[target_slot] = res.fused
+        del self.maps[slot_from]
+        self.matcher.retire_map(slot_from)
+        # re-register the absorbed keyframes under the target slot
+        fused = res.fused
+        alive = np.asarray(fused.kfs.valid & ~fused.kfs.bad)
+        for k in range(res.kf_offset, int(fused.next_kf)):
+            if alive[k]:
+                self.matcher.insert_keyframe(target_slot, fused, k)
+        # remap agent bookkeeping
+        for ag in self.agents.values():
+            if ag.map_slot == slot_from:
+                ag.map_slot = target_slot
+                ag.S_map_client = res.S_from_to.compose(ag.S_map_client)
+                ag.kf_table = {
+                    kid: arena + res.kf_offset for kid, arena in ag.kf_table.items()
+                }
+                ag.mp_table = {
+                    mid: arena + res.mp_offset for mid, arena in ag.mp_table.items()
+                }
+        # merge-GBA: protected, run to completion now (DONOTINTERRUPTMERGE)
+        self._run_gba(target_slot, iters=self.gba_total_iters)
+        self.gba_dirty[target_slot] = False
+        self.gba_progress[target_slot] = self.gba_total_iters
+
+    # ------------------------------------------------------------------- GBA
+
+    def _run_gba(self, slot: int, iters: int):
+        m = self.maps[slot]
+        alive = m.kfs.valid & ~m.kfs.bad
+        order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
+        oldest2 = jnp.argsort(order)[:2]
+        fixed = jnp.zeros((m.kfs.capacity,), bool).at[oldest2].set(True)
+        prob = build_ba_problem(m, self.cam, fixed_mask=fixed)
+        R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
+        self.maps[slot] = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
+        return float(cost)
+
+    def idle_step(self):
+        """One scheduler tick: advance interruptible GBAs; trigger final GBA
+        on quiescence (RunServer + FINALBA)."""
+        self.step_counter += 1
+        for slot in list(self.maps.keys()):
+            agents_here = [a for a in self.agents.values() if a.map_slot == slot]
+            if not agents_here:
+                continue
+            quiet = all(
+                self.step_counter - a.last_data_step >= self.quiescence_steps
+                for a in agents_here
+            )
+            if quiet and not self.final_gba_done[slot]:
+                # final GBA: run to completion
+                self._run_gba(slot, iters=self.gba_total_iters)
+                self.final_gba_done[slot] = True
+                self.gba_dirty[slot] = False
+                continue
+            if self.gba_dirty[slot] and self.gba_progress[slot] < self.gba_total_iters:
+                # interruptible chunk
+                self._run_gba(slot, iters=self.gba_chunk_iters)
+                self.gba_progress[slot] += self.gba_chunk_iters
+                if self.gba_progress[slot] >= self.gba_total_iters:
+                    self.gba_dirty[slot] = False
+
+    # ---------------------------------------------------------------- queries
+
+    def trajectory(self, agent_id: int):
+        """(timestamps, R_cw, t_cw) of the agent's keyframes in its map,
+        ordered by kf id (the KF_GBA_<agent>.csv content)."""
+        ag = self.agents[agent_id]
+        m = self.maps[ag.map_slot]
+        items = sorted(ag.kf_table.items())
+        arena = [a for _, a in items]
+        alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
+        arena = [a for a in arena if alive[a]]
+        ts = np.asarray(m.kfs.timestamp)[arena]
+        R = np.asarray(m.kfs.R_cw)[arena]
+        t = np.asarray(m.kfs.t_cw)[arena]
+        return ts, R, t
