@@ -1,0 +1,99 @@
+"""Map/trajectory visualization export (the Viewer replacement).
+
+The reference's ``Viewer`` (cslam/src/Viewer.cpp) publishes RViz markers:
+keyframe frusta, landmark point clouds, per-agent colored trajectories, and
+the covisibility graph.  This framework exports the same observability
+surface to files instead (SURVEY §7.6): a JSON scene graph + standard PLY
+point clouds, loadable by any viewer (meshlab, rerun, Open3D, a browser).
+
+Per-agent colors follow the reference's defaults (config.yaml Viewer.Color*).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..models import map_store as ms
+
+AGENT_COLORS = [  # reference conf/config.yaml Viewer.ColorR/G/B 0..3
+    (1.0, 1.0, 1.0),
+    (0.0, 0.8, 0.0),
+    (0.0, 0.0, 1.0),
+    (0.6, 0.0, 0.6),
+]
+COVIS_COLOR = (0.6, 0.6, 0.6)
+
+
+def export_pointcloud_ply(path: str, m: ms.MapState) -> int:
+    """Landmarks as a colored PLY point cloud (PubMapPointsAsCloud)."""
+    alive = np.asarray(m.mps.valid & ~m.mps.bad)
+    pos = np.asarray(m.mps.pos)[alive]
+    client = np.asarray(m.mps.client_id)[alive]
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pos)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        for p, c in zip(pos, client):
+            r, g, b = AGENT_COLORS[int(c) % len(AGENT_COLORS)]
+            f.write(
+                f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                f"{int(r*255)} {int(g*255)} {int(b*255)}\n"
+            )
+    return len(pos)
+
+
+def export_scene_json(path: str, m: ms.MapState, covis_min_weight: int = 100) -> dict:
+    """Keyframe trajectories per agent + covisibility edges + loop edges as a
+    JSON scene (PubTrajectories + PubCovGraph + loop markers)."""
+    alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
+    centers = np.asarray(m.kfs.center())
+    ids = np.asarray(m.kfs.kf_id)
+    clients = np.asarray(m.kfs.client_id)
+    order = np.asarray(m.kfs.insert_order)
+
+    agents = {}
+    for k in np.where(alive)[0]:
+        c = int(clients[k])
+        agents.setdefault(c, []).append((int(ids[k]), centers[k].tolist()))
+    trajectories = {
+        str(c): {
+            "color": AGENT_COLORS[c % len(AGENT_COLORS)],
+            "keyframes": [p for _, p in sorted(pts)],
+            "kf_ids": [i for i, _ in sorted(pts)],
+        }
+        for c, pts in agents.items()
+    }
+
+    W = np.asarray(ms.covisibility_matrix(m))
+    edges = []
+    K = W.shape[0]
+    for a in range(K):
+        if not alive[a]:
+            continue
+        for b in range(a + 1, K):
+            if alive[b] and W[a, b] >= covis_min_weight:
+                edges.append([int(a), int(b), int(W[a, b])])
+
+    loops = []
+    loop_edge = np.asarray(m.kfs.loop_edge)
+    for k in np.where(alive & (loop_edge >= 0))[0]:
+        loops.append([int(k), int(loop_edge[k])])
+
+    scene = {
+        "n_keyframes": int(alive.sum()),
+        "n_landmarks": int(np.asarray(m.mps.valid & ~m.mps.bad).sum()),
+        "trajectories": trajectories,
+        "covisibility_edges": edges,
+        "covis_color": COVIS_COLOR,
+        "loop_edges": loops,
+        "keyframe_centers": {str(int(k)): centers[k].tolist() for k in np.where(alive)[0]},
+    }
+    with open(path, "w") as f:
+        json.dump(scene, f)
+    return scene

@@ -73,9 +73,8 @@ def _local_schur_terms(prob_shard: ba_mod.BAProblem, R, t, X_local, lam, huber_d
     V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
     Vinv = ba_mod.inv3x3(V_d)
 
-    Wfull = jnp.zeros((C, Pl, 6, 3), U.dtype)
-    p_idx = jnp.broadcast_to(jnp.arange(Pl)[:, None], ci.shape)
-    Wfull = Wfull.at[ci, p_idx].add(W)
+    onehot = jax.nn.one_hot(ci, C, dtype=U.dtype)  # [Pl,K,C]
+    Wfull = jnp.einsum("pkc,pkij->cpij", onehot, W)
     WV = jnp.einsum("cpij,pjk->cpik", Wfull, Vinv)
     S_off = jnp.einsum("cpik,dpjk->cidj", WV, Wfull)
     S_partial = -S_off

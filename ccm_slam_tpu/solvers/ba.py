@@ -92,13 +92,18 @@ def _build_normal_blocks(prob: BAProblem, R, t, X, huber_delta):
     wJc = Jc * w[..., None, None]
     wJp = Jp * w[..., None, None]
 
-    U = jnp.zeros((prob.R.shape[0], 6, 6), r.dtype)
-    U = U.at[ci].add(jnp.einsum("pkij,pkil->pkjl", wJc, Jc))
+    # camera-indexed reductions as one-hot matmuls: XLA scatter on TPU is
+    # serial-ish and dominates the iteration; a [P*K, C] one-hot contraction
+    # runs on the MXU at memory-bandwidth speed instead
+    C = prob.R.shape[0]
+    onehot = jax.nn.one_hot(ci, C, dtype=r.dtype)  # [P,K,C]
+    U_blk = jnp.einsum("pkij,pkil->pkjl", wJc, Jc)  # [P,K,6,6]
+    U = jnp.einsum("pkc,pkjl->cjl", onehot, U_blk)
     V = jnp.einsum("pkij,pkil->pjl", wJp, Jp)  # [P,3,3]
     W = jnp.einsum("pkij,pkil->pkjl", wJc, Jp)  # [P,K,6,3]
 
-    g_c = jnp.zeros((prob.R.shape[0], 6), r.dtype)
-    g_c = g_c.at[ci].add(-jnp.einsum("pkij,pki->pkj", wJc, r))
+    g_blk = -jnp.einsum("pkij,pki->pkj", wJc, r)  # [P,K,6]
+    g_c = jnp.einsum("pkc,pkj->cj", onehot, g_blk)
     g_p = -jnp.einsum("pkij,pki->pj", wJp, r)  # [P,3]
     return U, V, W, g_c, g_p, ci
 
@@ -141,10 +146,9 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
     V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
     Vinv = inv3x3(V_d)  # [P,3,3]
 
-    # dense coupling operator: scatter W blocks into [C,P,6,3]
-    Wfull = jnp.zeros((C, P, 6, 3), U.dtype)
-    p_idx = jnp.broadcast_to(jnp.arange(P)[:, None], ci.shape)
-    Wfull = Wfull.at[ci, p_idx].add(W)
+    # dense coupling operator [C,P,6,3] built by one-hot matmul (not scatter)
+    onehot = jax.nn.one_hot(ci, C, dtype=U.dtype)  # [P,K,C]
+    Wfull = jnp.einsum("pkc,pkij->cpij", onehot, W)
 
     # S = U_d - W V^-1 W^T via two MXU matmuls
     WV = jnp.einsum("cpij,pjk->cpik", Wfull, Vinv)  # [C,P,6,3]
@@ -184,7 +188,7 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936)
     """
 
     def lm_iter(carry, _):
-        R, t, X, lam = carry
+        R, t, X, lam, cost = carry  # cost of the CURRENT state, carried over
         U, V, W, g_c, g_p, ci = _build_normal_blocks(prob, R, t, X, huber_delta)
         delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
 
@@ -193,7 +197,6 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936)
         t_new = (dR @ t[..., None])[..., 0] + dt
         X_new = X + delta_p
 
-        cost = _cost(prob, R, t, X, huber_delta)
         cost_new = _cost(prob, R_new, t_new, X_new, huber_delta)
         finite = (
             jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p)) & jnp.isfinite(cost_new)
@@ -202,11 +205,13 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
+        cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-10), jnp.minimum(lam * 5.0, 1e8))
-        return (R, t, X, lam), cost_new
+        return (R, t, X, lam, cost), cost_new
 
-    (R, t, X, _), costs = jax.lax.scan(
-        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4)), None, length=iters
+    cost0 = _cost(prob, prob.R, prob.t, prob.X, huber_delta)
+    (R, t, X, _, _), costs = jax.lax.scan(
+        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0), None, length=iters
     )
     _, _, _, chi2, valid = _residuals_and_weights(prob, R, t, X, huber_delta)
     n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)

@@ -1,0 +1,104 @@
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ccm_slam_tpu.io import euroc, export
+from ccm_slam_tpu.io.trajectory import ate_rmse, write_tum
+from tests.test_map_store import add_kf, add_mps, fresh
+
+
+class TestEurocLoader:
+    def _make_fake_seq(self, tmp_path):
+        from PIL import Image
+
+        cam = tmp_path / "mav0" / "cam0"
+        (cam / "data").mkdir(parents=True)
+        rows = ["#timestamp [ns],filename"]
+        rng = np.random.RandomState(0)
+        for i in range(5):
+            ts = 1403636579763555584 + i * 50_000_000
+            fn = f"{ts}.png"
+            Image.fromarray(rng.randint(0, 255, (48, 64), dtype=np.uint8)).save(
+                str(cam / "data" / fn)
+            )
+            rows.append(f"{ts},{fn}")
+        (cam / "data.csv").write_text("\n".join(rows))
+        gt = tmp_path / "mav0" / "state_groundtruth_estimate0"
+        gt.mkdir(parents=True)
+        gt_rows = ["#ts,px,py,pz,qw,qx,qy,qz,..."]
+        for i in range(10):
+            ts = 1403636579763555584 + i * 25_000_000
+            gt_rows.append(f"{ts},{i*0.1},0.0,1.0,1.0,0.0,0.0,0.0")
+        (gt / "data.csv").write_text("\n".join(gt_rows))
+        return str(tmp_path)
+
+    def test_frames_and_gt(self, tmp_path):
+        root = self._make_fake_seq(tmp_path)
+        seq = euroc.EurocSequence(root=root)
+        frames = list(seq.frames())
+        assert len(frames) == 5
+        assert frames[0].image.shape == (48, 64)
+        assert abs(frames[1].timestamp - frames[0].timestamp - 0.05) < 1e-6
+        ts, pos, quat = seq.ground_truth()
+        assert len(ts) == 10 and pos.shape == (10, 3)
+
+    def test_staggered_start_and_limit(self, tmp_path):
+        root = self._make_fake_seq(tmp_path)
+        seq = euroc.EurocSequence(root=root)
+        frames = list(seq.frames(start=0.1, limit=2))
+        assert len(frames) == 2
+
+    def test_gt_association(self, tmp_path):
+        root = self._make_fake_seq(tmp_path)
+        seq = euroc.EurocSequence(root=root)
+        ts_gt, pos, _ = seq.ground_truth()
+        est_ts = ts_gt[[0, 4]] + 0.001
+        mask, matched = euroc.associate_gt(est_ts, ts_gt, pos)
+        assert mask.all()
+        np.testing.assert_allclose(matched, pos[[0, 4]], atol=1e-6)
+
+
+class TestExport:
+    def _map(self):
+        m = fresh()
+        m, _ = add_mps(m, 6)
+        a = jnp.full((16,), -1, jnp.int32)
+        for i in range(4):
+            m, _ = add_kf(m, i, mp_assoc=a.at[0].set(i % 6).at[1].set((i + 1) % 6))
+        return m
+
+    def test_ply(self, tmp_path):
+        m = self._map()
+        path = str(tmp_path / "cloud.ply")
+        n = export.export_pointcloud_ply(path, m)
+        assert n == 6
+        lines = open(path).read().splitlines()
+        assert lines[0] == "ply"
+        assert f"element vertex {n}" in "\n".join(lines[:6])
+        assert len(lines) > 10
+
+    def test_scene_json(self, tmp_path):
+        m = self._map()
+        path = str(tmp_path / "scene.json")
+        scene = export.export_scene_json(path, m, covis_min_weight=1)
+        on_disk = json.load(open(path))
+        assert on_disk["n_keyframes"] == 4
+        assert on_disk["n_landmarks"] == 6
+        assert "0" in on_disk["trajectories"]
+        assert len(on_disk["trajectories"]["0"]["keyframes"]) == 4
+        assert len(on_disk["covisibility_edges"]) >= 1
+
+
+class TestTum:
+    def test_write_format(self, tmp_path):
+        path = str(tmp_path / "traj.tum")
+        R = jnp.stack([jnp.eye(3)] * 3)
+        t = jnp.asarray(np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0]], np.float32))
+        write_tum(path, np.array([0.0, 0.05, 0.1]), R, t)
+        lines = open(path).read().splitlines()
+        assert len(lines) == 3
+        parts = lines[1].split()
+        assert len(parts) == 8
+        np.testing.assert_allclose(float(parts[1]), -1.0, atol=1e-5)  # center = -R^T t
