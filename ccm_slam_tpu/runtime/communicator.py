@@ -64,6 +64,7 @@ class MPMsgBatch:
     client_id: jnp.ndarray  # [B]
     pos_ref: jnp.ndarray    # [B,3] position in the reference KF's camera frame
     ref_kf_id: jnp.ndarray  # [B]
+    ref_client_id: jnp.ndarray  # [B] owner of the reference KF
     desc: jnp.ndarray       # [B,32]
     normal_ref: jnp.ndarray  # [B,3] normal in ref KF camera frame
     min_dist: jnp.ndarray   # [B]
@@ -147,7 +148,11 @@ def publish_client(
     kfs, mps = m.kfs, m.mps
     K, M, N = kfs.capacity, mps.capacity, kfs.n_feat
 
-    alive_kf = np.asarray(kfs.valid & ~kfs.bad)
+    # never re-send entities that came FROM the server (vicinity feedback):
+    # they are recognizable by a foreign client id (Map.cpp:236-240)
+    own_kf = np.asarray(kfs.client_id) == client_id
+    own_mp = np.asarray(mps.client_id) == client_id
+    alive_kf = np.asarray(kfs.valid & ~kfs.bad) & own_kf
     ver_kf = np.asarray(kfs.pose_version)
     timeout_kf = (
         (st.kf_sent >= 0)
@@ -161,7 +166,7 @@ def publish_client(
     order = np.argsort(ids_np)
     sel_kf = [k for k in order if need_full_kf[k] or need_upd_kf[k]][:max_kfs]
 
-    alive_mp = np.asarray(mps.valid & ~mps.bad)
+    alive_mp = np.asarray(mps.valid & ~mps.bad) & own_mp
     ver_mp = np.asarray(mps.pos_version)
     timeout_mp = (
         (st.mp_sent >= 0)
@@ -242,6 +247,7 @@ def publish_client(
         client_id=jnp.full((B_mp,), client_id, jnp.int32),
         pos_ref=pos_ref,
         ref_kf_id=kfs.kf_id[ref],
+        ref_client_id=jnp.full((B_mp,), client_id, jnp.int32),
         desc=mps.desc[mp_idx_j],
         normal_ref=nrm_ref,
         min_dist=mps.min_dist[mp_idx_j],
@@ -305,3 +311,92 @@ def apply_server_acks(st: ClientCommState, m: ms.MapState, msg: MapMsg) -> Clien
 def trimmable_mask(m: ms.MapState, st: ClientCommState) -> jnp.ndarray:
     """CanBeForgotten: sent at least once AND acked (KeyFrame.cpp:1964)."""
     return jnp.asarray((st.kf_sent >= 0) & st.kf_acked)
+
+
+def ingest_server_map(
+    m: ms.MapState,
+    msg: MapMsg,
+    own_client_id: int,
+    foreign_kf_table: dict,
+    foreign_mp_table: dict,
+):
+    """Client-side ingestion of server vicinity feedback
+    (ProcessKfInClient/ProcessMpInClient, Communicator.cpp:730-1026):
+    foreign keyframes/landmarks enter the client map with their original
+    client ids (they are never re-sent and never become spanning parents).
+
+    foreign_*_table: {(client_id, id) -> arena idx}, updated in place.
+    Returns the updated map."""
+    kfb = msg.kfs
+    for i in range(int(kfb.valid.shape[0])):
+        if not bool(kfb.valid[i]):
+            continue
+        cid = int(kfb.client_id[i])
+        kf_id = int(kfb.kf_id[i])
+        key = (cid, kf_id)
+        # vicinity poses arrive absolute in the client gauge (pred_id == -1)
+        T_R, T_t = kfb.R_cpred[i], kfb.t_cpred[i]
+        if key in foreign_kf_table:
+            k = foreign_kf_table[key]
+            m = m.replace(
+                kfs=m.kfs.replace(
+                    R_cw=m.kfs.R_cw.at[k].set(T_R),
+                    t_cw=m.kfs.t_cw.at[k].set(T_t),
+                    pose_version=m.kfs.pose_version.at[k].add(1),
+                )
+            )
+            continue
+        if int(m.next_kf) >= m.kfs.capacity - 1 or not bool(kfb.full[i]):
+            continue
+        assoc_ids = np.asarray(kfb.mp_assoc_id[i])
+        assoc = np.full(assoc_ids.shape[0], -1, np.int32)
+        for j, mid in enumerate(assoc_ids):
+            fk = (cid, int(mid))
+            if mid >= 0 and fk in foreign_mp_table:
+                assoc[j] = foreign_mp_table[fk]
+        m, k = ms.add_keyframe(
+            m, jnp.int32(kf_id), jnp.int32(cid), kfb.timestamp[i],
+            T_R, T_t, kfb.xy[i], kfb.desc[i], kfb.octave[i], kfb.angle[i],
+            kfb.feat_valid[i], jnp.asarray(assoc),
+        )
+        foreign_kf_table[key] = int(k)
+
+    mpb = msg.mps
+    for i in range(int(mpb.valid.shape[0])):
+        if not bool(mpb.valid[i]):
+            continue
+        cid = int(mpb.client_id[i])
+        mp_id = int(mpb.mp_id[i])
+        key = (cid, mp_id)
+        ref_key = (int(mpb.ref_client_id[i]), int(mpb.ref_kf_id[i]))
+        if ref_key not in foreign_kf_table:
+            continue
+        r = foreign_kf_table[ref_key]
+        T_ref = SE3(R=m.kfs.R_cw[r], t=m.kfs.t_cw[r])
+        pos_w = T_ref.inverse().apply(mpb.pos_ref[i])
+        if key in foreign_mp_table:
+            p = foreign_mp_table[key]
+            m = m.replace(
+                mps=m.mps.replace(
+                    pos=m.mps.pos.at[p].set(pos_w),
+                    pos_version=m.mps.pos_version.at[p].add(1),
+                )
+            )
+            continue
+        if int(m.next_mp) >= m.mps.capacity - 2:
+            continue
+        m, idxs = ms.add_mappoints(
+            m,
+            n_new=jnp.int32(1),
+            pos=pos_w[None, :],
+            desc=mpb.desc[i][None, :],
+            normal=(T_ref.R.T @ mpb.normal_ref[i])[None, :],
+            min_dist=mpb.min_dist[i][None],
+            max_dist=mpb.max_dist[i][None],
+            ref_kf=jnp.asarray([r], jnp.int32),
+            mp_ids=jnp.asarray([mp_id], jnp.int32),
+            client_id=jnp.asarray([cid], jnp.int32),
+            new_valid=jnp.asarray([True]),
+        )
+        foreign_mp_table[key] = int(idxs[0])
+    return m

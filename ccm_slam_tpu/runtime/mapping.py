@@ -312,6 +312,59 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def keyframe_redundancy(m: ms.MapState, cfg: SystemConfig):
+    """Per-keyframe redundancy ratio (KeyFrameCullingV3, Mapping.cpp:771-863):
+    the fraction of a keyframe's landmarks that are observed >= 3 more times
+    by other keyframes at the same or finer pyramid scale (+1 tolerance).
+
+    Returns ratio [K]; the server culls keyframes with ratio >= RedThres."""
+    kfs, mps = m.kfs, m.mps
+    K, N = kfs.capacity, kfs.n_feat
+    O = mps.max_obs
+    # for each (kf k, feat n) with landmark p: octave of OUR observation
+    mp = kfs.mp_idx  # [K,N]
+    has = (mp >= 0) & kfs.feat_valid
+    mpc = jnp.clip(mp, 0, mps.capacity - 1)
+    own_oct = kfs.octave  # [K,N]
+    # octave of every observation of p: gather through the reverse table
+    obs_kf = jnp.clip(mps.obs_kf, 0, K - 1)           # [M,O]
+    obs_feat = jnp.clip(mps.obs_feat, 0, N - 1)
+    obs_ok = (jnp.arange(O)[None, :] < mps.obs_n[:, None]) & (mps.obs_kf >= 0)
+    obs_oct = kfs.octave[obs_kf, obs_feat]            # [M,O]
+    # count per landmark per own-octave threshold: we need, for (k,n),
+    # #obs of p at octave <= own_oct+1, excluding k itself
+    p_oct = obs_oct[mpc]                              # [K,N,O]
+    p_ok = obs_ok[mpc]                                # [K,N,O]
+    p_kf = mps.obs_kf[mpc]                            # [K,N,O]
+    fine = p_ok & (p_oct <= (own_oct[..., None] + 1)) & (p_kf != jnp.arange(K)[:, None, None])
+    n_fine = jnp.sum(fine, axis=-1)                   # [K,N]
+    redundant = has & (n_fine >= 3)
+    n_mps = jnp.sum(has, axis=1)
+    ratio = jnp.sum(redundant, axis=1) / jnp.clip(n_mps, 1)
+    alive = kfs.valid & ~kfs.bad
+    return jnp.where(alive & (n_mps > 0), ratio, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cull_redundant_keyframes(m: ms.MapState, cfg: SystemConfig, protect_recent: int = 20):
+    """Server keyframe culling: erase keyframes whose redundancy ratio
+    exceeds RedThres (skipping the most recent window and the two oldest
+    gauge anchors).  Returns (map, n_culled)."""
+    ratio = keyframe_redundancy(m, cfg)
+    kfs = m.kfs
+    alive = kfs.valid & ~kfs.bad
+    order = kfs.insert_order
+    newest = jnp.max(jnp.where(alive, order, -1))
+    recent = order > newest - protect_recent
+    oldest = jnp.sort(jnp.where(alive, order, jnp.iinfo(jnp.int32).max))[:2]
+    anchor = (order == oldest[0]) | (order == oldest[1])
+    kill = alive & ~recent & ~anchor & (ratio >= cfg.mapping.red_thres)
+    m = ms.erase_keyframes(m, kill)
+    m = ms.compact_observations(m)
+    return m, jnp.sum(kill)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def trim_keyframes(m: ms.MapState, cfg: SystemConfig):
     """Client local-map bound (Map::MapTrimming): keep the newest
     LocalMapSize keyframes by insertion order, erase the rest (entities must

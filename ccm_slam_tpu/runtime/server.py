@@ -286,6 +286,9 @@ class Server:
         slot = ag.map_slot
         m = self.maps[slot]
         m, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
+        if self.cfg.mapping.red_thres < 1.0:
+            # server keyframe redundancy culling (KeyFrameCullingV3 gate)
+            m, _ = mapping_mod.cull_redundant_keyframes(m, self.cfg)
         self.maps[slot] = m
         # intra-map loop closure
         m2, closed = self.finders[slot].try_close(m, new_kf_arena)
@@ -370,6 +373,119 @@ class Server:
                 self.gba_progress[slot] += self.gba_chunk_iters
                 if self.gba_progress[slot] >= self.gba_total_iters:
                     self.gba_dirty[slot] = False
+
+    # --------------------------------------------------------------- vicinity
+
+    def pack_vicinity(self, agent_id: int, max_kfs: int = None, max_mps: int = 2000) -> "MapMsg":
+        """Server->client feedback: the covisibility neighborhood of the
+        agent's most recent keyframe, encoded in the CLIENT's gauge
+        (Map::PackVicinityToMsg, cslam/src/Map.cpp:1065-1155 +
+        KeyFrame::ConvertToMessage server branch :1332-1386).  Disabled when
+        Comm.Server.KfsToClient == 0 (the shipped default)."""
+        from .communicator import KFMsgBatch, MPMsgBatch, MapMsg
+
+        if max_kfs is None:
+            max_kfs = self.cfg.comm.server_kfs_to_client
+        ag = self.agents[agent_id]
+        m = self.maps[ag.map_slot]
+        if max_kfs <= 0 or not ag.kf_table:
+            empty = MapMsg(
+                kfs=None, mps=None, ack_kf_ids=np.zeros(0, np.int64),
+                ack_mp_ids=np.zeros(0, np.int64),
+            )
+            return empty
+
+        # BFS over covisibility from the agent's newest keyframe
+        W = np.asarray(ms.covisibility_matrix(m))
+        start = ag.kf_table[max(ag.kf_table.keys())]
+        seen = [start]
+        frontier = [start]
+        while frontier and len(seen) < max_kfs:
+            nxt = []
+            for k in frontier:
+                nbrs = np.argsort(-W[k])
+                for nb in nbrs:
+                    if W[k, nb] <= 0:
+                        break
+                    if nb not in seen:
+                        seen.append(int(nb))
+                        nxt.append(int(nb))
+                    if len(seen) >= max_kfs:
+                        break
+                if len(seen) >= max_kfs:
+                    break
+            frontier = nxt
+        sel = seen[:max_kfs]
+
+        # encode in the client gauge: T_client = se3_scaled(T_map o S_mc)
+        S_mc = ag.S_map_client
+        kfs = m.kfs
+        sel_j = jnp.asarray(np.asarray(sel, np.int64))
+        T_map = SE3(R=kfs.R_cw[sel_j], t=kfs.t_cw[sel_j])
+        Smc_b = Sim3(
+            s=jnp.broadcast_to(S_mc.s, (len(sel),)),
+            R=jnp.broadcast_to(S_mc.R, (len(sel), 3, 3)),
+            t=jnp.broadcast_to(S_mc.t, (len(sel), 3)),
+        )
+        T_cl = T_map.to_sim3().compose(Smc_b).to_se3_scaled()
+
+        assoc = kfs.mp_idx[sel_j]
+        mpc = jnp.clip(assoc, 0, m.mps.capacity - 1)
+        assoc_id = jnp.where(assoc >= 0, m.mps.mp_id[mpc], -1)
+        B = len(sel)
+        kf_batch = KFMsgBatch(
+            valid=jnp.ones(B, bool),
+            full=jnp.ones(B, bool),
+            kf_id=kfs.kf_id[sel_j],
+            client_id=kfs.client_id[sel_j],
+            timestamp=kfs.timestamp[sel_j],
+            R_cpred=T_cl.R,
+            t_cpred=T_cl.t,
+            pred_kf_id=jnp.full(B, -1, jnp.int32),  # absolute, client gauge
+            xy=kfs.xy[sel_j],
+            desc=kfs.desc[sel_j],
+            octave=kfs.octave[sel_j],
+            angle=kfs.angle[sel_j],
+            feat_valid=kfs.feat_valid[sel_j],
+            mp_assoc_id=assoc_id,
+        )
+
+        # landmarks of the vicinity keyframes, encoded in the FIRST vicinity
+        # keyframe's camera frame (client-gauge)
+        mps = m.mps
+        lm_mask = np.zeros(mps.capacity, bool)
+        assoc_np = np.asarray(assoc)
+        for row in assoc_np:
+            lm_mask[row[row >= 0]] = True
+        lm_mask &= np.asarray(mps.valid & ~mps.bad)
+        lm_sel = np.where(lm_mask)[0][:max_mps]
+        Bm = len(lm_sel)
+        lm_j = jnp.asarray(lm_sel)
+        ref_k = sel_j[0]
+        T_ref_cl = SE3(R=T_cl.R[0], t=T_cl.t[0])
+        X_cl = S_mc.inverse().apply(mps.pos[lm_j])
+        pos_ref = T_ref_cl.apply(X_cl)
+        nrm_cl = jnp.einsum("ij,bj->bi", S_mc.R.T, mps.normal[lm_j])
+        mp_batch = MPMsgBatch(
+            valid=jnp.ones(Bm, bool),
+            full=jnp.ones(Bm, bool),
+            mp_id=mps.mp_id[lm_j],
+            client_id=mps.client_id[lm_j],
+            pos_ref=pos_ref,
+            ref_kf_id=jnp.full(Bm, int(kfs.kf_id[ref_k]), jnp.int32),
+            ref_client_id=jnp.full(Bm, int(kfs.client_id[ref_k]), jnp.int32),
+            desc=mps.desc[lm_j],
+            normal_ref=jnp.einsum("ij,bj->bi", T_ref_cl.R, nrm_cl),
+            min_dist=mps.min_dist[lm_j] / S_mc.s,
+            max_dist=mps.max_dist[lm_j] / S_mc.s,
+            obs_kf_id=jnp.full((Bm, mps.max_obs), -1, jnp.int32),
+            obs_feat=jnp.zeros((Bm, mps.max_obs), jnp.int32),
+            obs_valid=jnp.zeros((Bm, mps.max_obs), bool),
+        )
+        return MapMsg(
+            kfs=kf_batch, mps=mp_batch,
+            ack_kf_ids=np.zeros(0, np.int64), ack_mp_ids=np.zeros(0, np.int64),
+        )
 
     # ---------------------------------------------------------------- queries
 
