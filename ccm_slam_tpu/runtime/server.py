@@ -76,6 +76,9 @@ class Server:
     quiescence_steps: int = 30
     gba_chunk_iters: int = 2
     gba_total_iters: int = 20
+    # optional device mesh: GBA switches to the landmark-sharded distributed
+    # solver when set (parallel/dist_ba); None = single-device
+    mesh: object = None
 
     def __post_init__(self):
         cap = self.cfg.capacity
@@ -345,7 +348,13 @@ class Server:
         oldest2 = jnp.argsort(order)[:2]
         fixed = jnp.zeros((m.kfs.capacity,), bool).at[oldest2].set(True)
         prob = build_ba_problem(m, self.cam, fixed_mask=fixed)
-        R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
+        if self.mesh is not None:
+            from ..parallel import dist_ba
+
+            probs = dist_ba.shard_problem(prob, self.mesh)
+            R, t, X, cost = dist_ba.dist_ba_solve(probs, self.mesh, iters=iters)
+        else:
+            R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
         self.maps[slot] = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
         return float(cost)
 

@@ -177,6 +177,83 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
     return delta_c, delta_p
 
 
+def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
+                     cg_iters: int = 60):
+    """Matrix-free Schur solve for LARGE camera counts.
+
+    The dense reduced system costs O(C^2 P) to assemble — prohibitive at
+    server/stress scale (C ~ 1000).  Here S v is applied per-observation:
+
+        (S v)_c = U_c v_c + lam diag - sum_{p,k2} 1[ci_pk2=c] W_pk2 V_p^-1
+                  sum_k1 W_pk1^T v_{ci_pk1}
+
+    with the camera reductions as one-hot MXU matmuls; block-Jacobi
+    preconditioning with U^-1.  Per CG step ~ O(P K (36 + C)) flops.
+    """
+    C = U.shape[0]
+    P = V.shape[0]
+    U_d = U + (lam * jnp.diagonal(U, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(6)
+    V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
+    Vinv = inv3x3(V_d)
+    # bf16 one-hot: values are exactly representable; the [P,K,C] tensor is
+    # the dominant memory traffic of every CG step, so halving it matters
+    onehot = jax.nn.one_hot(ci, C, dtype=jnp.bfloat16)  # [P,K,C]
+
+    active = ~prob.cam_fixed & (jnp.diagonal(U_d, axis1=-2, axis2=-1).sum(-1) > 1e-6)
+
+    def cam_reduce(y):  # [P,K,6] -> [C,6] via one-hot matmul, f32 accumulation
+        return jnp.einsum(
+            "pkc,pki->ci", onehot, y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    def S_mv(v):  # v [C,6]
+        v = jnp.where(active[:, None], v, 0.0)
+        vk = v[ci]  # [P,K,6]
+        y1 = jnp.einsum("pkij,pki->pkj", W, vk)  # W^T v per obs -> [P,K,3]
+        y2 = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(y1, axis=1))  # [P,3]
+        y3 = jnp.einsum("pkij,pj->pki", W, y2)  # [P,K,6]
+        off = cam_reduce(y3)
+        out = jnp.einsum("cij,cj->ci", U_d, v) - off
+        return jnp.where(active[:, None], out, v)
+
+    b = g_c - cam_reduce(
+        jnp.einsum("pkij,pj->pki", W, jnp.einsum("pij,pj->pi", Vinv, g_p))
+    )
+    b = jnp.where(active[:, None], b, 0.0)
+
+    Uinv = jnp.linalg.inv(U_d + 1e-6 * jnp.eye(6))
+
+    def M_inv(r):
+        return jnp.where(active[:, None], jnp.einsum("cij,cj->ci", Uinv, r), r)
+
+    def cg_step(carry, _):
+        x, r, z, p, rz = carry
+        Ap = S_mv(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), rz_new
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_inv(r0)
+    (delta_c, _, _, _, _), _ = jax.lax.scan(
+        cg_step, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
+    )
+    delta_c = jnp.where(prob.cam_fixed[:, None], 0.0, delta_c)
+
+    Wt_dc = jnp.einsum("pkij,pki->pj", W, delta_c[ci])
+    delta_p = jnp.einsum("pij,pj->pi", Vinv, g_p - Wt_dc)
+    delta_p = jnp.where(prob.point_valid[:, None], delta_p, 0.0)
+    return delta_c, delta_p
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936):
     """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
@@ -187,10 +264,17 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936)
     chunk is one compiled, resumable unit.
     """
 
+    # shape-static solver selection: the dense reduced system is O(C^2 P) to
+    # assemble — use it for local-BA-sized problems, matrix-free PCG beyond
+    use_pcg = prob.R.shape[0] > 192
+
     def lm_iter(carry, _):
         R, t, X, lam, cost = carry  # cost of the CURRENT state, carried over
         U, V, W, g_c, g_p, ci = _build_normal_blocks(prob, R, t, X, huber_delta)
-        delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
+        if use_pcg:
+            delta_c, delta_p = _solve_schur_pcg(prob, U, V, W, g_c, g_p, ci, lam)
+        else:
+            delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
 
         dR, dt = se3_exp(delta_c)
         R_new = dR @ R

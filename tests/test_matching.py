@@ -173,3 +173,37 @@ class TestTriangulate:
         p2 = x2[:, :2] / x2[:, 2:3]
         Xr = initializer.triangulate(P1, P2, p1, p2)
         np.testing.assert_allclose(np.asarray(Xr), np.asarray(X), atol=1e-3)
+
+
+class TestPnP:
+    def test_recovers_pose_with_outliers(self):
+        from ccm_slam_tpu.ops import pnp
+
+        key = jax.random.PRNGKey(20)
+        X = jax.random.uniform(key, (150, 3), minval=-3, maxval=3).at[:, 2].add(9.0)
+        T = lie.SE3.exp(jnp.array([0.4, -0.2, 0.6, 0.1, -0.15, 0.08]))
+        Xc = T.apply(X)
+        uv = jnp.stack(
+            [FX * Xc[:, 0] / Xc[:, 2] + CX, FY * Xc[:, 1] / Xc[:, 2] + CY], -1
+        )
+        uv = uv + jax.random.normal(jax.random.PRNGKey(21), uv.shape) * 0.3
+        uv = uv.at[:25].add(80.0)  # gross outliers
+        out = pnp.ransac_pnp(
+            jax.random.PRNGKey(22), X, uv, jnp.ones(150, bool), jnp.ones(150),
+            FX, FY, CX, CY,
+        )
+        assert bool(out["success"])
+        assert int(out["n_inliers"]) > 110
+        assert float(jnp.linalg.norm(out["t"] - T.t)) < 0.02
+        assert not bool(jnp.any(out["inliers"][:25]))
+
+    def test_degenerate_too_few(self):
+        from ccm_slam_tpu.ops import pnp
+
+        X = jax.random.uniform(jax.random.PRNGKey(23), (20, 3)).at[:, 2].add(5.0)
+        uv = jax.random.uniform(jax.random.PRNGKey(24), (20, 2)) * 400  # random garbage
+        out = pnp.ransac_pnp(
+            jax.random.PRNGKey(25), X, uv, jnp.ones(20, bool), jnp.ones(20),
+            FX, FY, CX, CY,
+        )
+        assert not bool(out["success"])
