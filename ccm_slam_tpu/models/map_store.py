@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 NO_MP = jnp.int32(-1)
@@ -582,6 +583,18 @@ def transform_map(m: MapState, s, R, t) -> MapState:
         kfs=kfs.replace(R_cw=new_R, t_cw=new_t, pose_version=kfs.pose_version + 1),
         mps=mps.replace(pos=pos2, pos_version=mps.pos_version + 1),
     )
+
+
+def compaction_remap(m: MapState):
+    """The old->new arena index mapping that compact_map would apply
+    (numpy arrays; -1 = dropped).  Lets callers remap external id tables."""
+    kf_keep = np.asarray(m.kfs.valid & ~m.kfs.bad)
+    mp_keep = np.asarray(m.mps.valid & ~m.mps.bad & (m.mps.obs_n > 0))
+    kf_map = np.full(kf_keep.shape[0], -1, np.int64)
+    kf_map[kf_keep] = np.arange(kf_keep.sum())
+    mp_map = np.full(mp_keep.shape[0], -1, np.int64)
+    mp_map[mp_keep] = np.arange(mp_keep.sum())
+    return kf_map, mp_map
 
 
 def merge_maps(m_into: MapState, m_from: MapState, s, R, t) -> MapState:

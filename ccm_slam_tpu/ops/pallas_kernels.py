@@ -7,6 +7,13 @@ in VMEM, never touching HBM.  The XLA path (ops/hamming.py + top_k)
 materializes the full matrix; at tracking scale (16k landmarks x 1k
 features per frame, every frame) the fused kernel removes that round-trip.
 
+Design notes (learned on hardware):
+* the reduction state lives in the OUTPUT blocks, which are revisited
+  across the target-tile grid axis (TPU grids iterate sequentially, last
+  axis innermost) — fori_loop carries of 1-D vectors spilled registers;
+* outputs are [Q, 128] with the value broadcast across lanes: width-1
+  outputs lane-pad anyway, and (8,128)-divisible blocks are mandatory.
+
 Interface matches ``matching._masked_best2`` semantics; a jnp fallback runs
 on CPU / in tests (also used to golden-check the kernel in interpret mode).
 """
@@ -17,75 +24,56 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import hamming
 
 BIG = 1e9  # plain float: jnp scalars would be captured tracers inside kernels
-
-
-def _top2_merge(b1, i1, s1, b2, i2, s2):
-    """Merge two (best, idx, second) triples elementwise."""
-    take2 = b2 < b1
-    new_best = jnp.where(take2, b2, b1)
-    new_bidx = jnp.where(take2, i2, i1)
-    cand_second = jnp.where(take2, b1, b2)
-    other_second = jnp.where(take2, s2, s1)
-    new_second = jnp.minimum(cand_second, other_second)
-    return new_best, new_bidx, new_second
+TQ = 1024  # queries per grid row; packs into one (8,128) output block
+TT = 512
 
 
 def _tile_top2(dist, col0):
     """Per-row best/second + best index within one [TQ, TT] tile."""
-    TT = dist.shape[1]
+    n_cols = dist.shape[1]
     m1 = jnp.min(dist, axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    idx1 = jnp.min(jnp.where(dist == m1[:, None], cols, TT), axis=1)
+    idx1 = jnp.min(jnp.where(dist == m1[:, None], cols, n_cols), axis=1)
     dist2 = jnp.where(cols == idx1[:, None], BIG, dist)
     m2 = jnp.min(dist2, axis=1)
     return m1, (idx1 + col0).astype(jnp.int32), m2
 
 
 def _kernel(qb_ref, qn_ref, tb_ref, tn_ref, tmask_ref, best_ref, idx_ref, sec_ref):
-    """Grid: (n_q_tiles,).  Target axis streamed with an inner loop."""
-    TQ = qb_ref.shape[0]
-    TT = 256
-    n_t = tb_ref.shape[0] // TT
-
-    qb = qb_ref[:]          # [TQ, 256] bf16 bit planes
-    qn = qn_ref[:]          # [TQ, 1] f32 popcounts
-
-    def body(tt, carry):
-        best, bidx, sec = carry
-        tb = tb_ref[pl_ds(tt * TT, TT), :]      # [TT, 256]
-        tn = tn_ref[pl_ds(tt * TT, TT), :]      # [TT, 1]
-        msk = tmask_ref[pl_ds(tt * TT, TT), :]  # [TT, 1] f32 0/1
-        dots = jax.lax.dot_general(
-            qb, tb, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [TQ, TT]
-        dist = qn[:, 0][:, None] + tn[:, 0][None, :] - 2.0 * dots
-        dist = jnp.where(msk[:, 0][None, :] > 0.5, dist, BIG)
-        m1, i1, m2 = _tile_top2(dist, tt * TT)
-        return _top2_merge(best, bidx, sec, m1, i1, m2)
-
-    init = (
-        jnp.full((TQ,), BIG, jnp.float32),
-        jnp.zeros((TQ,), jnp.int32),
-        jnp.full((TQ,), BIG, jnp.float32),
-    )
-    best, bidx, sec = jax.lax.fori_loop(0, n_t, body, init)
-    # outputs in native 128-lane layout (a [TQ, 1] output would pad every
-    # row to 128 lanes and blow the VMEM budget)
-    best_ref[:] = best.reshape(TQ // 128, 128)
-    idx_ref[:] = bidx.reshape(TQ // 128, 128)
-    sec_ref[:] = sec.reshape(TQ // 128, 128)
-
-
-def pl_ds(start, size):
+    """Grid: (n_q_tiles, n_t_tiles); outputs revisited along axis 1."""
     from jax.experimental import pallas as pl
 
-    return pl.ds(start, size)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_ref[:] = jnp.full(best_ref.shape, BIG, jnp.float32)
+        idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+        sec_ref[:] = jnp.full(sec_ref.shape, BIG, jnp.float32)
+
+    dots = jax.lax.dot_general(
+        qb_ref[:], tb_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, TT]
+    dist = qn_ref[:, 0][:, None] + tn_ref[:, 0][None, :] - 2.0 * dots
+    dist = jnp.where(tmask_ref[:, 0][None, :] > 0.5, dist, BIG)
+    m1, i1, m2 = _tile_top2(dist, j * TT)
+
+    # reduction state packed as (8,128) blocks: 1024 queries per grid row
+    cur_b = best_ref[:].reshape(-1)
+    cur_i = idx_ref[:].reshape(-1)
+    cur_s = sec_ref[:].reshape(-1)
+    take = m1 < cur_b
+    new_b = jnp.where(take, m1, cur_b)
+    new_i = jnp.where(take, i1, cur_i)
+    new_s = jnp.minimum(jnp.where(take, cur_b, m1), jnp.where(take, m2, cur_s))
+    best_ref[:] = new_b.reshape(best_ref.shape)
+    idx_ref[:] = new_i.reshape(idx_ref.shape)
+    sec_ref[:] = new_s.reshape(sec_ref.shape)
 
 
 def _pad_to(x, n, axis=0, value=0):
@@ -108,7 +96,6 @@ def hamming_top2(q_desc, q_valid, t_desc, t_valid, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     Q, T = q_desc.shape[0], t_desc.shape[0]
-    TQ, TT = 1024, 256  # TQ//128 = 8 rows: the minimal (8,128)-aligned output block
     Qp = -(-Q // TQ) * TQ
     Tp = -(-T // TT) * TT
 
@@ -122,21 +109,21 @@ def hamming_top2(q_desc, q_valid, t_desc, t_valid, interpret: bool = False):
     tn = _pad_to(tn, Tp)
     tmask = _pad_to(t_valid.astype(jnp.float32)[:, None], Tp)
 
-    grid = (Qp // TQ,)
+    grid = (Qp // TQ, Tp // TT)
     best, idx, sec = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TQ, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 256), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, 256), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TQ // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ // 128, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ // 128, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ // 128, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),

@@ -49,6 +49,10 @@ class MergeResult:
     kf_offset: int       # absorbed map's keyframe arena offset in the fused map
     mp_offset: int
     target_slot: int = -1  # map slot that absorbed the query map
+    # exact old->compacted arena remaps of the ABSORBED map (it is compacted
+    # during the splice; -1 = dropped) for external id-table fixup
+    kf_remap: object = None
+    mp_remap: object = None
 
 
 @dataclass
@@ -125,13 +129,12 @@ class MapMatcher:
                 continue
             m_b = maps[slot_b]
             # trial union: plain concatenation (identity gauge) to evaluate
-            # the match on one arena
-            trial = ms.merge_maps(
-                ms.compact_map(m_b), m_a, jnp.float32(1.0), jnp.eye(3), jnp.zeros(3)
-            )
-            trial_c = ms.compact_map(m_b)  # offsets: A starts at b's next_kf
-            kf_off = int(trial_c.next_kf) + kf_idx_after_compact(m_a, kf_idx)
-            mp_off = int(trial_c.next_mp)
+            # the match on one arena.  The TARGET map is spliced AS-IS — a
+            # compaction here would shift its arena indices and silently
+            # invalidate every id table pointing into it
+            trial = ms.merge_maps(m_b, m_a, jnp.float32(1.0), jnp.eye(3), jnp.zeros(3))
+            kf_off = int(m_b.next_kf) + kf_idx_after_compact(m_a, kf_idx)
+            mp_off = int(m_b.next_mp)
             self.rng, key = jax.random.split(self.rng)
             est = estimate_sim3(
                 key, trial, jnp.int32(kf_off), jnp.int32(kf_b), self.cam, self.cfg
@@ -147,7 +150,7 @@ class MapMatcher:
                 continue
             # real fusion with the gauge Sim3
             S_ba = gauge_from_match(trial, jnp.int32(kf_off), jnp.int32(kf_b), est["S_qc"])
-            fused = ms.merge_maps(ms.compact_map(m_b), m_a, S_ba.s, S_ba.R, S_ba.t)
+            fused = ms.merge_maps(m_b, m_a, S_ba.s, S_ba.R, S_ba.t)
             # the gauge alignment already satisfies the loop constraint; the
             # merge edge for the essential graph must be measured from the
             # FUSED poses (merge_maps flattened A's Sim3 scale into SE3 —
@@ -160,9 +163,11 @@ class MapMatcher:
                 fused, jnp.int32(kf_off), jnp.int32(kf_b), S_qc_fused, self.cam,
                 self.cfg, loop_mask=loop_mask, gp_t_idx=t_idx, gp_okm=okm,
             )
+            kf_remap, mp_remap = ms.compaction_remap(m_a)
             return MergeResult(
-                fused=fused, S_from_to=S_ba, kf_offset=int(trial_c.next_kf),
+                fused=fused, S_from_to=S_ba, kf_offset=int(m_b.next_kf),
                 mp_offset=mp_off, target_slot=slot_b,
+                kf_remap=kf_remap, mp_remap=mp_remap,
             )
         return None
 

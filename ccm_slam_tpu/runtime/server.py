@@ -323,16 +323,21 @@ class Server:
         for k in range(res.kf_offset, int(fused.next_kf)):
             if alive[k]:
                 self.matcher.insert_keyframe(target_slot, fused, k)
-        # remap agent bookkeeping
+        # remap agent bookkeeping: the absorbed map was compacted during the
+        # splice, so route old arena indices through the exact remap first
         for ag in self.agents.values():
             if ag.map_slot == slot_from:
                 ag.map_slot = target_slot
                 ag.S_map_client = res.S_from_to.compose(ag.S_map_client)
                 ag.kf_table = {
-                    kid: arena + res.kf_offset for kid, arena in ag.kf_table.items()
+                    kid: int(res.kf_remap[arena]) + res.kf_offset
+                    for kid, arena in ag.kf_table.items()
+                    if res.kf_remap[arena] >= 0
                 }
                 ag.mp_table = {
-                    mid: arena + res.mp_offset for mid, arena in ag.mp_table.items()
+                    mid: int(res.mp_remap[arena]) + res.mp_offset
+                    for mid, arena in ag.mp_table.items()
+                    if res.mp_remap[arena] >= 0
                 }
         # merge-GBA: protected, run to completion now (DONOTINTERRUPTMERGE)
         self._run_gba(target_slot, iters=self.gba_total_iters)

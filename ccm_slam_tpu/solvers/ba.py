@@ -195,17 +195,14 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     U_d = U + (lam * jnp.diagonal(U, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(6)
     V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
     Vinv = inv3x3(V_d)
-    # bf16 one-hot: values are exactly representable; the [P,K,C] tensor is
-    # the dominant memory traffic of every CG step, so halving it matters
-    onehot = jax.nn.one_hot(ci, C, dtype=jnp.bfloat16)  # [P,K,C]
+    # f32 one-hot: a bf16 variant halves the memory traffic but sends the
+    # TPU compiler into a pathological multi-minute schedule on this program
+    onehot = jax.nn.one_hot(ci, C, dtype=U.dtype)  # [P,K,C]
 
     active = ~prob.cam_fixed & (jnp.diagonal(U_d, axis1=-2, axis2=-1).sum(-1) > 1e-6)
 
-    def cam_reduce(y):  # [P,K,6] -> [C,6] via one-hot matmul, f32 accumulation
-        return jnp.einsum(
-            "pkc,pki->ci", onehot, y.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+    def cam_reduce(y):  # [P,K,6] -> [C,6] via one-hot matmul
+        return jnp.einsum("pkc,pki->ci", onehot, y, preferred_element_type=jnp.float32)
 
     def S_mv(v):  # v [C,6]
         v = jnp.where(active[:, None], v, 0.0)

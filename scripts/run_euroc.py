@@ -1,0 +1,175 @@
+"""Run ccm_slam_tpu on EuRoC sequences — the replacement for the reference's
+ROS launch files (Server.launch + Client<i>_euroc.launch + rosbag play).
+
+Single agent (BASELINE config 1/2):
+  python scripts/run_euroc.py --seq /data/MH_01_easy --out out/
+
+Multi-agent centralized (config 3/4), staggered starts like readme.md:152:
+  python scripts/run_euroc.py --seq /data/MH_01_easy /data/MH_02_easy \
+      --starts 45 35 --out out/
+
+Outputs per agent: KF_GBA_<agent>.csv (TUM format, the reference's
+trajectory product), plus map checkpoint, PLY cloud and scene JSON.
+If ground truth is present, prints ATE RMSE (evo_ape protocol: Sim3
+alignment).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", nargs="+", required=True, help="EuRoC roots (mav0/ inside)")
+    ap.add_argument("--starts", nargs="*", type=float, default=None)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--limit", type=int, default=None, help="max frames per agent")
+    ap.add_argument("--vocab", default=None, help="pretrained vocabulary npz")
+    ap.add_argument("--native-loader", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ccm_slam_tpu.config import DEFAULT_CONFIG
+    from ccm_slam_tpu.io import checkpoint as ckpt
+    from ccm_slam_tpu.io import euroc, export
+    from ccm_slam_tpu.io.trajectory import ate_rmse, camera_centers, write_tum
+    from ccm_slam_tpu.ops import bow, orb
+    from ccm_slam_tpu.runtime import communicator as comm
+    from ccm_slam_tpu.runtime.server import Server
+    from ccm_slam_tpu.runtime.tracker import Tracker
+    from ccm_slam_tpu.utils.camera import Camera
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = DEFAULT_CONFIG
+    cam = Camera.from_config(cfg.camera)
+    n_agents = len(args.seq)
+    starts = args.starts or [0.0] * n_agents
+
+    seqs = [euroc.EurocSequence(root=r) for r in args.seq]
+    trackers = [Tracker(cfg=cfg, cam=cam, client_id=i) for i in range(n_agents)]
+
+    server = None
+    comm_states = None
+    if n_agents > 1:
+        # vocabulary: pretrained, or trained on the first frames' descriptors
+        if args.vocab:
+            vocab = ckpt.load_vocabulary(args.vocab)
+        else:
+            f0 = next(seqs[0].frames(start=starts[0], limit=1))
+            feats = orb.extract(jnp.asarray(f0.image))
+            vocab = bow.train_vocabulary(
+                jax.random.PRNGKey(0), feats.desc, feats.valid, n_words=1024, iters=6
+            )
+        server = Server(cfg=cfg, cam=cam, vocab=vocab, n_agents=n_agents)
+        comm_states = [
+            comm.ClientCommState.create(
+                cfg.capacity.client_max_kfs, cfg.capacity.client_max_mps
+            )
+            for _ in range(n_agents)
+        ]
+
+    iters = [iter(s.frames(start=st, limit=args.limit)) for s, st in zip(seqs, starts)]
+    live = [True] * n_agents
+    frame_count = [0] * n_agents
+    pub_every = max(1, int(cfg.camera.fps / cfg.comm.client_pub_freq))
+
+    while any(live):
+        for i in range(n_agents):
+            if not live[i]:
+                continue
+            try:
+                fr = next(iters[i])
+            except StopIteration:
+                live[i] = False
+                continue
+            trackers[i].process_image(jnp.asarray(fr.image), fr.timestamp)
+            frame_count[i] += 1
+            if server is not None and trackers[i].map is not None:
+                if frame_count[i] % pub_every == 0:
+                    msg, comm_states[i] = comm.publish_client(
+                        trackers[i].map, comm_states[i], i,
+                        max_kfs=cfg.comm.client_pub_max_kfs,
+                        max_mps=cfg.comm.client_pub_max_mps,
+                    )
+                    if not msg.empty:
+                        new_ids = [
+                            int(k) for k, v in zip(
+                                np.asarray(msg.kfs.kf_id), np.asarray(msg.kfs.valid)
+                            ) if v
+                        ]
+                        ack = server.ingest(i, msg)
+                        comm_states[i] = comm.apply_server_acks(
+                            comm_states[i], trackers[i].map, ack
+                        )
+                        ag = server.agents[i]
+                        for kf_id in new_ids:
+                            if kf_id in ag.kf_table:
+                                server.mapping_step(i, ag.kf_table[kf_id])
+        if server is not None:
+            server.idle_step()
+
+    # final GBA on quiescence
+    if server is not None:
+        for _ in range(server.quiescence_steps + 2):
+            server.idle_step()
+
+    # outputs
+    t_sc = np.asarray(cfg.camera.t_sc)
+    for i in range(n_agents):
+        if server is not None:
+            ts, R, t = server.trajectory(i)
+        else:
+            m = trackers[i].map
+            if m is None:
+                print(f"agent {i}: no map")
+                continue
+            alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
+            idxs = np.where(alive)[0]
+            idxs = idxs[np.argsort(np.asarray(m.kfs.kf_id)[idxs])]
+            ts = np.asarray(m.kfs.timestamp)[idxs]
+            R = np.asarray(m.kfs.R_cw)[idxs]
+            t = np.asarray(m.kfs.t_cw)[idxs]
+        path = os.path.join(args.out, f"KF_GBA_{i}.csv")
+        write_tum(path, ts, R, t, t_sc=t_sc)
+        print(f"agent {i}: {len(ts)} keyframes -> {path}")
+
+        # ATE against ground truth when available
+        try:
+            gt_ts, gt_pos, _ = seqs[i].ground_truth()
+            mask, gt_match = euroc.associate_gt(ts, gt_ts, gt_pos)
+            if mask.sum() >= 3:
+                import jax.numpy as jnp2
+
+                est_pos = np.asarray(camera_centers(jnp.asarray(R), jnp.asarray(t)))
+                rmse, _ = ate_rmse(est_pos[mask], gt_match[mask])
+                print(f"agent {i}: ATE RMSE (Sim3) = {rmse:.4f} m over {mask.sum()} KFs")
+        except FileNotFoundError:
+            pass
+
+    # map artifacts
+    if server is not None:
+        for slot, m in server.maps.items():
+            if int(jnp.sum(m.kfs.valid)) == 0:
+                continue
+            ckpt.save_map(os.path.join(args.out, f"map_{slot}.npz"), m)
+            export.export_pointcloud_ply(os.path.join(args.out, f"map_{slot}.ply"), m)
+            export.export_scene_json(os.path.join(args.out, f"scene_{slot}.json"), m)
+    elif trackers[0].map is not None:
+        ckpt.save_map(os.path.join(args.out, "map_0.npz"), trackers[0].map)
+        export.export_pointcloud_ply(os.path.join(args.out, "map_0.ply"), trackers[0].map)
+        export.export_scene_json(os.path.join(args.out, "scene_0.json"), trackers[0].map)
+
+
+if __name__ == "__main__":
+    main()
