@@ -180,3 +180,71 @@ class TestTrackingE2E:
                     assert ((o == k) & (ff == f)).any(), (k, f, mp)
                     checked += 1
         assert checked > 50
+
+
+def render_frame_multioctave(world, T_cw, cam, rng, n_levels=4):
+    """Render with per-feature octaves 0..3: coarser octaves get noisier
+    detections and looser gates, like the real pyramid extractor."""
+    Xc = np.asarray(T_cw.apply(jnp.asarray(world.points)))
+    z = Xc[:, 2]
+    uv = np.stack(
+        [
+            float(cam.fx) * Xc[:, 0] / np.maximum(z, 1e-6) + float(cam.cx),
+            float(cam.fy) * Xc[:, 1] / np.maximum(z, 1e-6) + float(cam.cy),
+        ],
+        -1,
+    )
+    vis = (z > 0.5) & (uv[:, 0] > 10) & (uv[:, 0] < 742) & (uv[:, 1] > 10) & (uv[:, 1] < 470)
+    idx = np.where(vis)[0][:N_SLOTS]
+    rng.shuffle(idx)
+    n = len(idx)
+    # deterministic per landmark, skewed like real per-level budgets
+    # (~60% octave 0 — initialization matches only octave-0 features)
+    octave = np.maximum(0, (idx % 8) - 4).astype(np.int32)
+    sf = 1.2 ** octave[:n]
+    xy = np.zeros((N_SLOTS, 2), np.float32)
+    xy[:n] = uv[idx] + rng.randn(n, 2) * (0.3 * sf)[:, None]
+    desc = np.zeros((N_SLOTS, 32), np.uint8)
+    desc[:n] = world.desc[idx]
+    valid = np.zeros(N_SLOTS, bool)
+    valid[:n] = True
+    oct_arr = np.zeros(N_SLOTS, np.int32)
+    oct_arr[:n] = octave[:n]
+    return Frame(
+        timestamp=jnp.float32(0.0),
+        xy=jnp.asarray(xy),
+        desc=jnp.asarray(desc),
+        octave=jnp.asarray(oct_arr),
+        angle=jnp.zeros(N_SLOTS),
+        sigma2=level_sigma2(jnp.asarray(oct_arr)),
+        valid=jnp.asarray(valid),
+        R_cw=jnp.eye(3),
+        t_cw=jnp.zeros(3),
+        mp=jnp.full((N_SLOTS,), NO_MP, jnp.int32),
+    )
+
+
+class TestMultiOctaveTracking:
+    def test_tracks_with_octave_spread(self):
+        """Multi-octave features (scaled noise + per-octave gates) must track
+        at least as robustly as the single-octave case."""
+        cfg = dataclasses.replace(
+            small_config(), extractor=ExtractorConfig(n_features=N_SLOTS, n_levels=4)
+        )
+        cam = Camera.from_config(CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0))
+        world = make_world(seed=11)
+        poses = make_trajectory(50)
+        rng = np.random.RandomState(3)
+        tracker = Tracker(cfg=cfg, cam=cam)
+        est, gt = [], []
+        for i, T in enumerate(poses):
+            f = render_frame_multioctave(world, T, cam, rng)
+            f = f.replace(timestamp=jnp.float32(i * 0.05))
+            out = tracker.process_frame(f)
+            if out is not None:
+                est.append(np.asarray(camera_centers(out.R_cw, out.t_cw)))
+                gt.append(np.asarray(camera_centers(T.R, T.t)))
+        assert tracker.state == OK
+        assert len(est) >= 0.8 * len(poses)
+        rmse, _ = ate_rmse(np.stack(est), np.stack(gt))
+        assert rmse < 0.1, rmse
