@@ -16,6 +16,12 @@ Design notes (learned on hardware):
 
 Interface matches ``matching._masked_best2`` semantics; a jnp fallback runs
 on CPU / in tests (also used to golden-check the kernel in interpret mode).
+
+Status: semantics golden-verified in interpret mode; on the current
+remote-compile toolchain the hardware build of this kernel stalls in the
+Mosaic scheduler, so production matching stays on the XLA matmul path
+(ops/hamming.py) until the toolchain settles — swap in via
+``matching.match_brute(..., backend="pallas")`` once it does.
 """
 
 from __future__ import annotations
