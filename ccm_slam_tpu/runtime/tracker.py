@@ -195,8 +195,19 @@ class Tracker:
             TrajectoryEntry(float(tracked.timestamp), tracked.R_cw, tracked.t_cw)
         )
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cpp:662)
-        ref_n = int(jnp.sum(self.map.kfs.mp_idx[self.ref_kf] >= 0))
+        # keyframe decision (NeedNewKeyFrame, Tracking.cpp:662); the baseline
+        # is the ref KF's landmarks with >= 2 observations
+        # (KeyFrame::TrackedMapPoints(2) in the reference)
+        ref_assoc = self.map.kfs.mp_idx[self.ref_kf]
+        ref_mp = jnp.clip(ref_assoc, 0, self.map.mps.capacity - 1)
+        ref_n = int(
+            jnp.sum(
+                (ref_assoc >= 0)
+                & self.map.mps.valid[ref_mp]
+                & ~self.map.mps.bad[ref_mp]
+                & (self.map.mps.obs_n[ref_mp] >= 2)
+            )
+        )
         need = self.frames_since_kf >= t.max_frames or (
             n_inliers < ref_n * t.th_ref_ratio and n_inliers > t.matches_inliers_thres
         )

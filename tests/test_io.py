@@ -102,3 +102,30 @@ class TestTum:
         parts = lines[1].split()
         assert len(parts) == 8
         np.testing.assert_allclose(float(parts[1]), -1.0, atol=1e-5)  # center = -R^T t
+
+
+class TestTelemetry:
+    def test_stage_timer_and_counters(self):
+        import time
+
+        from ccm_slam_tpu.runtime.telemetry import Counters, StageTimer, Watchdog
+
+        t = StageTimer()
+        with t.stage("tracking"):
+            time.sleep(0.01)
+        with t.stage("tracking"):
+            time.sleep(0.01)
+        s = t.summary()
+        assert s["tracking"]["count"] == 2
+        assert s["tracking"]["total_s"] >= 0.02
+
+        c = Counters()
+        c.bump("kf_created")
+        c.bump("kf_created", 2)
+        assert c.get("kf_created") == 3
+
+        w = Watchdog(threshold_s=0.005)
+        w.beat("mapping")
+        time.sleep(0.02)
+        stalled = w.stalled()
+        assert stalled and stalled[0][0] == "mapping"
