@@ -150,7 +150,13 @@ class Tracker:
                     self.map, frame, self.last_frame, self.vel_R, self.vel_t,
                     self.cam, cfg, window_factor=2.0,
                 )
-            if int(n_in) >= t.motion_model_inlier_thres_opt:
+            # BOTH gates must pass — a near-threshold inlier count on too few
+            # matches means the prediction is off; fall back to the reference
+            # keyframe instead of committing to a weak pose
+            if (
+                int(n_match) >= t.motion_model_inlier_thres_search
+                and int(n_in) >= t.motion_model_inlier_thres_opt
+            ):
                 tracked = f2
                 n_inliers = int(n_in)
 
@@ -248,11 +254,10 @@ class Tracker:
                 self.map, cost, n_good = mapping.local_ba(
                     self.map, jnp.int32(k), self.cam, cfg, iters=8
                 )
-            # re-anchor the tracking frame on the refined pose; the BA
-            # correction is small, so the velocity stays usable
-            self.last_frame = self.last_frame.replace(
-                R_cw=self.map.kfs.R_cw[k], t_cw=self.map.kfs.t_cw[k]
-            )
+            # NOTE: the tracked frame keeps its tracking pose (the reference
+            # does the same — frames are never rewritten by BA); rewriting it
+            # desynchronizes the constant-velocity model from the pose it was
+            # derived from and the next prediction jumps
 
         # arena pressure: compact when cursors approach capacity
         cap = self.cfg.capacity
