@@ -92,7 +92,11 @@ def detect_loop_candidates(
     """
     scores = bow.score_against_database(query_vec, db.vectors, db.valid)
     K = scores.shape[0]
-    connected = covis_W[query_kf] > 0
+    # exclusion = the covisibility LIST (weight >= 15), not any shared
+    # landmark: a drifted revisit is typically WEAKLY reconnected through a
+    # few duplicate fusions and must still be a loop candidate
+    # (GetConnectedKeyFrames semantics, Database.cpp:85-90)
+    connected = covis_W[query_kf] >= 15
     eligible = (
         db.valid
         & (db.map_id == query_map_id)

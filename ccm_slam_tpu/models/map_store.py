@@ -469,7 +469,21 @@ def rebuild_observations(m: MapState) -> MapState:
         jnp.where(write, src_feat, 0)
     )
     obs_n = jnp.zeros((M,), jnp.int32).at[tgt_mp].add(write.astype(jnp.int32))
-    return m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
+
+    # consistency invariant: forward links whose observation overflowed the
+    # O-slot cap must be DROPPED, not silently kept — a link without a
+    # reverse slot is invisible to BA and drifts out of the optimized gauge
+    overflow = live[order] & (sorted_mp < M) & (rank >= O)
+    # scatter as add-of-delta (clears to NO_MP); masked entries target (0,0)
+    # with delta 0
+    dk = jnp.where(overflow, src_kf, 0)
+    df = jnp.where(overflow, src_feat, 0)
+    cur = kfs.mp_idx[dk, df]
+    mp_idx2 = kfs.mp_idx.at[dk, df].add(jnp.where(overflow, NO_MP - cur, 0))
+    return m.replace(
+        kfs=kfs.replace(mp_idx=mp_idx2),
+        mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n),
+    )
 
 
 def replace_mappoints(m: MapState, loser, winner) -> MapState:

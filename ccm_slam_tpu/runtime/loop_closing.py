@@ -368,12 +368,15 @@ class LoopFinder:
 
     def detect(self, m: ms.MapState, kf_idx: int, covis_W):
         """Returns list of consistent-enough candidate arena indices."""
+        # ALWAYS register the keyframe first: early keyframes are exactly the
+        # candidates later queries must find (the reference adds to the
+        # database unconditionally, Mapping.cpp:173)
+        vec = self.insert_keyframe(m, kf_idx)
         kf_id = int(m.kfs.kf_id[kf_idx])
         if int(jnp.sum(m.kfs.valid & ~m.kfs.bad)) < 10:
             return []
         if kf_id < self.last_loop_kf_id + self.cfg.placerec.new_loop_thres:
             return []
-        vec = self.insert_keyframe(m, kf_idx)
         min_score, has_nbr = kdb.min_covisible_score(self.db, vec, kf_idx, covis_W)
         if not bool(has_nbr):
             return []
