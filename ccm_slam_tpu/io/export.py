@@ -26,6 +26,40 @@ AGENT_COLORS = [  # reference conf/config.yaml Viewer.ColorR/G/B 0..3
 COVIS_COLOR = (0.6, 0.6, 0.6)
 
 
+def annotate_frame(img, frame, radius: int = 3):
+    """Draw tracked features on a grayscale image (the client Viewer's
+    annotated camera frame, Viewer::DrawFrame): landmarks-matched keypoints
+    get filled markers, unmatched detections get outlines.  Returns an RGB
+    uint8 array (save with PIL or stream wherever)."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    out = np.stack([img.clip(0, 255).astype(np.uint8)] * 3, axis=-1)
+    xy = np.asarray(frame.xy)
+    valid = np.asarray(frame.valid)
+    matched = np.asarray(frame.mp) >= 0
+
+    def draw(x, y, color, fill):
+        x, y = int(round(x)), int(round(y))
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                r2 = dx * dx + dy * dy
+                on_ring = abs(r2 - radius * radius) <= radius
+                if (fill and r2 <= radius * radius) or (not fill and on_ring):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        out[yy, xx] = color
+
+    for i in np.where(valid)[0]:
+        x, y = xy[i]
+        if not (0 <= x < w and 0 <= y < h):
+            continue
+        if matched[i]:
+            draw(x, y, (0, 220, 0), True)
+        else:
+            draw(x, y, (220, 160, 0), False)
+    return out
+
+
 def export_pointcloud_ply(path: str, m: ms.MapState) -> int:
     """Landmarks as a colored PLY point cloud (PubMapPointsAsCloud)."""
     alive = np.asarray(m.mps.valid & ~m.mps.bad)

@@ -501,6 +501,39 @@ class Server:
             ack_kf_ids=np.zeros(0, np.int64), ack_mp_ids=np.zeros(0, np.int64),
         )
 
+    # ------------------------------------------------------------- load / save
+
+    def save_map(self, slot: int, path: str):
+        """Persist one server map (the ccmslam_savemap service equivalent)."""
+        from ..io import checkpoint as ckpt
+
+        ckpt.save_map(path, self.maps[slot])
+
+    def load_map(self, slot: int, path: str):
+        """Load a previously saved map into a slot (Server.launch LoadMap
+        flow): ids remapped to client 0, entities registered in the place-
+        recognition databases, and agent 0's communication disabled (the
+        reference disables that agent's comm, Communicator ctor early-return
+        Communicator.cpp:51) — here: its id tables point at the loaded map so
+        duplicate ingestion becomes pose updates."""
+        from ..io import checkpoint as ckpt
+
+        m = ckpt.remap_to_client(ckpt.load_map(path), client_id=0)
+        self.maps[slot] = m
+        ag = self.agents[0]
+        ag.map_slot = slot
+        alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
+        ids = np.asarray(m.kfs.kf_id)
+        for k in np.where(alive)[0]:
+            ag.kf_table[int(ids[k])] = int(k)
+            self.finders[slot].insert_keyframe(m, int(k))
+            self.matcher.insert_keyframe(slot, m, int(k))
+        mp_alive = np.asarray(m.mps.valid & ~m.mps.bad)
+        mp_ids = np.asarray(m.mps.mp_id)
+        for p in np.where(mp_alive)[0]:
+            ag.mp_table[int(mp_ids[p])] = int(p)
+        return m
+
     # ---------------------------------------------------------------- queries
 
     def trajectory(self, agent_id: int):

@@ -178,7 +178,7 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
 
 
 def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
-                     cg_iters: int = 60):
+                     cg_iters: int = 60, bucket_cap: int = 1536):
     """Matrix-free Schur solve for LARGE camera counts.
 
     The dense reduced system costs O(C^2 P) to assemble — prohibitive at
@@ -187,22 +187,36 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
         (S v)_c = U_c v_c + lam diag - sum_{p,k2} 1[ci_pk2=c] W_pk2 V_p^-1
                   sum_k1 W_pk1^T v_{ci_pk1}
 
-    with the camera reductions as one-hot MXU matmuls; block-Jacobi
-    preconditioning with U^-1.  Per CG step ~ O(P K (36 + C)) flops.
+    The camera reduction uses per-camera observation BUCKETS built once per
+    solve (sort + rank): a gather of [C, cap, 6] per CG step (~50 MB at
+    stress scale) instead of a [P,K,C] one-hot matmul (~4 GB read per step).
+    `bucket_cap` must bound the max observations of one camera — a camera
+    sees at most n_feat landmarks, so the frame feature budget is a safe cap.
+    Block-Jacobi preconditioning with U^-1.
     """
     C = U.shape[0]
     P = V.shape[0]
+    E = ci.size
     U_d = U + (lam * jnp.diagonal(U, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(6)
     V_d = V + (lam * jnp.diagonal(V, axis1=-2, axis2=-1) + 1e-8)[..., :, None] * jnp.eye(3)
     Vinv = inv3x3(V_d)
-    # f32 one-hot: a bf16 variant halves the memory traffic but sends the
-    # TPU compiler into a pathological multi-minute schedule on this program
-    onehot = jax.nn.one_hot(ci, C, dtype=U.dtype)  # [P,K,C]
+
+    # camera buckets: buckets[c, r] = flat obs index of camera c's r-th obs
+    flat_ci = ci.reshape(-1)
+    order = jnp.argsort(flat_ci, stable=True)
+    sorted_ci = flat_ci[order]
+    first_of = jnp.searchsorted(sorted_ci, jnp.arange(C + 1))
+    rank = jnp.arange(E) - first_of[jnp.clip(sorted_ci, 0, C)]
+    in_cap = rank < bucket_cap
+    buckets = jnp.full((C, bucket_cap), E, jnp.int32).at[
+        jnp.where(in_cap, sorted_ci, 0), jnp.where(in_cap, rank, 0)
+    ].min(jnp.where(in_cap, order.astype(jnp.int32), E))
 
     active = ~prob.cam_fixed & (jnp.diagonal(U_d, axis1=-2, axis2=-1).sum(-1) > 1e-6)
 
-    def cam_reduce(y):  # [P,K,6] -> [C,6] via one-hot matmul
-        return jnp.einsum("pkc,pki->ci", onehot, y, preferred_element_type=jnp.float32)
+    def cam_reduce(y):  # [P,K,6] -> [C,6] via bucketed gather
+        yf = jnp.concatenate([y.reshape(E, 6), jnp.zeros((1, 6), y.dtype)], axis=0)
+        return jnp.sum(yf[buckets], axis=1)
 
     def S_mv(v):  # v [C,6]
         v = jnp.where(active[:, None], v, 0.0)

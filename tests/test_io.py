@@ -129,3 +129,66 @@ class TestTelemetry:
         time.sleep(0.02)
         stalled = w.stalled()
         assert stalled and stalled[0][0] == "mapping"
+
+
+class TestAnnotateAndLoad:
+    def test_annotate_frame(self):
+        import jax.numpy as jnp
+
+        from ccm_slam_tpu.io.export import annotate_frame
+        from ccm_slam_tpu.models.map_store import NO_MP
+        from ccm_slam_tpu.runtime.frame import Frame
+        from ccm_slam_tpu.solvers.reproj import level_sigma2
+
+        img = np.full((60, 80), 100.0, np.float32)
+        N = 8
+        xy = np.array([[10, 10], [40, 30], [70, 50], [5, 5]] + [[0, 0]] * 4, np.float32)
+        mp = np.array([3, -1, 7, -1] + [-1] * 4, np.int32)
+        valid = np.array([True] * 4 + [False] * 4)
+        f = Frame(
+            timestamp=jnp.float32(0), xy=jnp.asarray(xy),
+            desc=jnp.zeros((N, 32), jnp.uint8), octave=jnp.zeros(N, jnp.int32),
+            angle=jnp.zeros(N), sigma2=level_sigma2(jnp.zeros(N, jnp.int32)),
+            valid=jnp.asarray(valid), R_cw=jnp.eye(3), t_cw=jnp.zeros(3),
+            mp=jnp.asarray(mp),
+        )
+        out = annotate_frame(img, f)
+        assert out.shape == (60, 80, 3)
+        assert tuple(out[10, 10]) == (0, 220, 0)       # matched -> filled green
+        assert tuple(out[30, 40]) != (0, 220, 0)       # unmatched center not filled
+        assert (out[30 - 3, 40] == (220, 160, 0)).all()  # ring pixel
+
+    def test_server_save_load_map(self, tmp_path):
+        import jax.numpy as jnp
+
+        from ccm_slam_tpu.config import CapacityConfig, SystemConfig
+        from ccm_slam_tpu.ops import bow
+        from ccm_slam_tpu.runtime.server import Server
+        from ccm_slam_tpu.utils.camera import Camera
+        from ccm_slam_tpu.config import CameraConfig
+        from tests.test_map_store import add_kf, add_mps, fresh
+        import jax
+
+        cfg = SystemConfig(
+            capacity=CapacityConfig(
+                max_keypoints=16, client_max_kfs=8, client_max_mps=64,
+                server_max_kfs=8, server_max_mps=64, max_obs_per_mp=4,
+            )
+        )
+        cam = Camera.from_config(CameraConfig())
+        d = jax.random.randint(jax.random.PRNGKey(0), (64, 32), 0, 256, dtype=jnp.uint8)
+        vocab = bow.train_vocabulary(jax.random.PRNGKey(1), d, jnp.ones(64, bool), n_words=16, iters=2)
+        m = fresh()
+        m, _ = add_mps(m, 3)
+        a = jnp.full((16,), -1, jnp.int32).at[0].set(0)
+        m, _ = add_kf(m, 5, mp_assoc=a)
+        path = str(tmp_path / "srv_map.npz")
+        server = Server(cfg=cfg, cam=cam, vocab=vocab, n_agents=2)
+        server.maps[0] = m
+        server.save_map(0, path)
+        server2 = Server(cfg=cfg, cam=cam, vocab=vocab, n_agents=2)
+        m2 = server2.load_map(0, path)
+        # loaded ids remapped to client 0, dense
+        assert int(m2.kfs.kf_id[0]) == 0
+        assert server2.agents[0].kf_table == {0: 0}
+        assert 0 in server2.agents[0].mp_table
