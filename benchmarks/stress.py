@@ -99,10 +99,12 @@ def main():
         R, t, X, cost, _ = ba.ba_solve(p, iters=iters)
         return R, t, X, float(cost)
 
-    # warmup/compile
-    _, _, _, c_warm = solve(prob, 2)
-
     iters = 20
+    # warmup/compile — MUST use the same static `iters` as the timed run
+    # (iters is a static jit arg: a different value is a different compile,
+    # and remote-tunnel compiles are ~20 s — previously inflated this metric)
+    _, _, _, c_warm = solve(prob, iters)
+    _, _, _, _ = solve(prob, 5)  # the chunk size used below
     t0 = time.perf_counter()
     R, t, X, cost_full = solve(prob, iters)
     dt = time.perf_counter() - t0
