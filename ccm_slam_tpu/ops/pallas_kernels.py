@@ -155,3 +155,360 @@ def hamming_top2_reference(q_desc, q_valid, t_desc, t_valid):
     d = jnp.where(t_valid[None, :], d, 2**30)
     neg2, idx2 = jax.lax.top_k(-d, 2)
     return idx2[:, 0], -neg2[:, 0], -neg2[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Camera<->observation transition kernels for the matrix-free PCG GBA path.
+#
+# The Schur matvec needs, per CG step, a broadcast v[cam(e)] (camera rows to
+# observation rows) and its transpose, a segment-sum of observation rows by
+# camera.  The XLA path (solvers/ba._pcg_transitions) factors the one-hot as
+# two staged MXU contractions — exact, but it streams the [E,H]/[E,G] one-hot
+# operands plus an [E,G*F] intermediate from HBM every call (~2 GB per CG
+# step at stress scale C=1024, E=1M).  Here the one-hot tile is generated
+# IN VMEM from an iota==cam_idx compare — zero HBM traffic for it — and both
+# transitions become a single MXU contraction each, leaving payload-only
+# traffic (~25 MB per call).  Entries are exactly 0/1 so results match the
+# gather forms (precision: bf16 passes on the payload values; the `exact`
+# paths use 3-pass f32 dots).
+#
+# Replaces the irregular-access core of g2o's sparse block ops in
+# Optimizer::MapFusionGBA (cslam/src/Optimizer.cpp:646-859).
+#
+# The one-hot is FACTORED in-kernel (c = hi*G + lo, mirroring the XLA path's
+# staging) so generation costs E*(Cp/G + G) VPU elements instead of E*Cp,
+# VMEM per block stays small enough for fat blocks (few grid steps), and
+# the [E, G*F] intermediate lives only in VMEM.
+# ---------------------------------------------------------------------------
+
+G_FACTOR = 16
+
+
+def _eb_for(F8: int) -> int:
+    """Observation rows per grid step: bound the [G, F8, EB] VMEM scratch.
+    Must stay a multiple of 128 (lane tiling)."""
+    return max(512, min(4096, ((4096 * 8) // F8 // 512) * 512))
+
+
+def _cam_reduce_kernel(Cp: int, exact: bool):
+    G = G_FACTOR
+    H = Cp // G
+
+    def kernel(yT_ref, ci_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+        ci = ci_ref[:]  # [1, EB] int32
+        EB = ci.shape[1]
+        F8 = yT_ref.shape[0]
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)  # [G, EB]
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)  # [H, EB]
+        # z[g, f, e] = oh_lo[g, e] * y[f, e]   (VPU, VMEM-only)
+        z = oh_lo[:, None, :] * yT_ref[:][None, :, :]  # [G, F8, EB]
+        out_ref[:] += jax.lax.dot_general(
+            oh_hi, z.reshape(G * F8, EB),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None,
+        )  # [H, G*F8]
+
+    return kernel
+
+
+def _cam_broadcast_kernel(Cp: int, exact: bool):
+    G = G_FACTOR
+    H = Cp // G
+
+    def kernel(vg_ref, ci_ref, out_ref):
+        ci = ci_ref[:]  # [1, EB]
+        EB = ci.shape[1]
+        GF8 = vg_ref.shape[0]
+        F8 = GF8 // G
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+        # Z[(g,f), e] = sum_h v[(g,f), h] * oh_hi[h, e]   (MXU)
+        Z = jax.lax.dot_general(
+            vg_ref[:], oh_hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None,
+        )  # [G*F8, EB]
+        # out[f, e] = sum_g oh_lo[g, e] * Z[(g,f), e]    (VPU, exact f32)
+        out_ref[:] = jnp.sum(Z.reshape(G, F8, EB) * oh_lo[:, None, :], axis=0)
+
+    return kernel
+
+
+def _pad_axis(x, mult, axis, value=0):
+    n = x.shape[axis]
+    return _pad_to(x, -(-n // mult) * mult, axis=axis, value=value)
+
+
+@partial(jax.jit, static_argnames=("C", "exact", "interpret"))
+def cam_reduce(y, cam_idx, C: int, exact: bool = False, interpret: bool = False):
+    """Segment-sum observation rows by camera: out[c] = sum_{e: ci[e]=c} y[e].
+
+    y [E, F] f32, cam_idx [E] int32 (entries outside [0, C) are dropped).
+    Returns [C, F] f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    E, F = y.shape
+    F8 = -(-F // 8) * 8
+    Cp = -(-C // 128) * 128
+    H = Cp // G
+    EB = _eb_for(F8)
+    yT = _pad_axis(_pad_axis(y, 8, 1).T, EB, 1)  # [F8, Ep]
+    # padded slots get camera id Cp (hi = Cp//G >= H: matches no iota row)
+    ci = _pad_axis(cam_idx.astype(jnp.int32)[None, :], EB, 1, value=Cp)  # [1, Ep]
+    ci = jnp.where((ci < 0) | (ci >= C), Cp, ci)
+    Ep = yT.shape[1]
+
+    out = pl.pallas_call(
+        _cam_reduce_kernel(Cp, exact),
+        grid=(Ep // EB,),
+        in_specs=[
+            pl.BlockSpec((F8, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, G * F8), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, G * F8), jnp.float32),
+        interpret=interpret,
+    )(yT, ci)
+    # out[h, (g, f)] -> [Cp, F8]: row c = hi*G + lo
+    return out.reshape(H, G, F8).reshape(Cp, F8)[:C, :F]
+
+
+@partial(jax.jit, static_argnames=("C", "exact", "interpret"))
+def cam_broadcast(v, cam_idx, C: int, exact: bool = False, interpret: bool = False):
+    """Broadcast camera rows to observation rows: out[e] = v[ci[e]].
+
+    v [C, F] f32, cam_idx [E] int32 (out-of-range rows return zeros).
+    Returns [E, F] f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    E = cam_idx.shape[0]
+    Cv, F = v.shape
+    assert Cv == C
+    F8 = -(-F // 8) * 8
+    Cp = -(-C // 128) * 128
+    H = Cp // G
+    EB = _eb_for(F8)
+    # v [C, F] -> [(g, f), h] so stage 1 is one matmul against oh_hi [H, EB]
+    vp = _pad_axis(_pad_axis(v, 8, 1), Cp, 0)  # [Cp, F8]
+    vg = jnp.transpose(vp.reshape(H, G, F8), (1, 2, 0)).reshape(G * F8, H)
+    ci = _pad_axis(cam_idx.astype(jnp.int32)[None, :], EB, 1, value=Cp)  # [1, Ep]
+    ci = jnp.where((ci < 0) | (ci >= C), Cp, ci)
+    Ep = ci.shape[1]
+
+    out = pl.pallas_call(
+        _cam_broadcast_kernel(Cp, exact),
+        grid=(Ep // EB,),
+        in_specs=[
+            pl.BlockSpec((G * F8, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F8, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F8, Ep), jnp.float32),
+        interpret=interpret,
+    )(vg, ci)
+    return out[:F, :E].T
+
+
+# ---------------------------------------------------------------------------
+# Fused Schur off-diagonal matvec: the whole CG hot loop in ONE kernel.
+#
+#   off(v)_c = sum_{e: ci[e]=c} W_e ( V_{p(e)}^-1 sum_{e' in p(e)} W_{e'}^T v_{ci[e']} )
+#
+# Observations are point-major ([P, K] flattened), so each landmark's K slots
+# are CONTIGUOUS in E: the point-side gather/scatter is a block-diagonal
+# one-hot generated in VMEM (iota e//K == iota p), and the camera-side
+# transitions reuse the factored hi/lo one-hots.  Per matvec the only HBM
+# traffic is W (18 f32/obs), Vinv (9 f32/landmark), cam_idx and v — ~84 MB at
+# stress scale vs ~2 GB for the staged-XLA form.
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(x, rows: int):
+    """Pad sublane dim with zero rows (kernel-internal, static shapes)."""
+    need = rows - x.shape[0]
+    return jnp.concatenate([x, jnp.zeros((need, *x.shape[1:]), x.dtype)], axis=0) \
+        if need > 0 else x
+
+
+def _schur_matvec_kernel(Cp: int, K: int, exact: bool):
+    G = G_FACTOR
+    H = Cp // G
+
+    def kernel(vg_ref, WT_ref, VinvT_ref, ci_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+        prec = jax.lax.Precision.HIGHEST if exact else None
+        ci = ci_ref[:]  # [1, EB]
+        EB = ci.shape[1]
+        PB = EB // K
+        GF8 = vg_ref.shape[0]
+        F8 = GF8 // G
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+
+        # 1) vk[f, e] = v[ci[e], f]   (camera -> observation broadcast)
+        Z = jax.lax.dot_general(
+            vg_ref[:], oh_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [GF8, EB]
+        vkT = jnp.sum(Z.reshape(G, F8, EB) * oh_lo[:, None, :], axis=0)  # [F8, EB]
+
+        # 2) y1[j, e] = sum_i W[e, i, j] * vk[i, e]
+        W3 = WT_ref[:][:18].reshape(6, 3, EB)
+        y1 = jnp.sum(W3 * vkT[:6][:, None, :], axis=0)  # [3, EB]
+
+        # 3) y2[j, p] = sum_{e in p} y1[j, e]   (block-diagonal one-hot)
+        seg = (
+            jax.lax.broadcasted_iota(jnp.int32, (EB, PB), 0) // K
+            == jax.lax.broadcasted_iota(jnp.int32, (EB, PB), 1)
+        ).astype(jnp.float32)  # [EB, PB]
+        y2 = jax.lax.dot_general(
+            _pad_rows(y1, 8), seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [8, PB]
+
+        # 4) y2b[i, p] = sum_j Vinv[p, i, j] * y2[j, p]
+        V9 = VinvT_ref[:][:9].reshape(3, 3, PB)
+        y2b = jnp.sum(V9 * y2[:3][None, :, :], axis=1)  # [3, PB]
+
+        # 5) back to observations: y2e[j, e] = y2b[j, p(e)]
+        y2e = jax.lax.dot_general(
+            _pad_rows(y2b, 8), seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [8, EB]
+
+        # 6) y3[i, e] = sum_j W[e, i, j] * y2e[j, e]
+        y3 = jnp.sum(W3 * y2e[:3][None, :, :], axis=1)  # [6, EB]
+
+        # 7) camera reduce of y3
+        z = oh_lo[:, None, :] * _pad_rows(y3, F8)[None, :, :]  # [G, F8, EB]
+        out_ref[:] += jax.lax.dot_general(
+            oh_hi, z.reshape(G * F8, EB), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [H, G*F8]
+
+    return kernel
+
+
+def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
+                      interpret: bool = False):
+    """Prepare the fused off-diagonal Schur matvec.
+
+    W [P, K, 6, 3] f32, Vinv [P, 3, 3] f32 (damped inverse), cam_idx [P, K]
+    int32.  Returns ``off(v [C,6]) -> [C,6]`` computing
+    ``sum_e onehot(ci) W_e Vinv_{p} sum_{e' in p} W_{e'}^T v[ci']``.
+    Invalid observations must carry zero W rows (they do: the Jacobians are
+    masked in _build_normal_blocks).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    P, K = cam_idx.shape
+    E = P * K
+    F8 = 8
+    Cp = -(-C // 128) * 128
+    H = Cp // G
+    # EB: multiple of K*128 so PB = EB/K keeps 128-lane tiling; ~2k rows/step
+    # bounds the in-VMEM one-hot scratch
+    EB = K * 128
+    while EB < 2048:
+        EB *= 2
+    if EB > 4096:
+        raise ValueError(f"K={K} too large for the fused matvec kernel")
+    Ep = -(-E // EB) * EB
+    Pp = Ep // K
+
+    WT = _pad_axis(_pad_axis(W.reshape(E, 18), 8, 1).T, EB, 1)[:24]  # [24, Ep]
+    WT = _pad_rows(WT, 24) if WT.shape[0] < 24 else WT
+    VinvT = _pad_axis(_pad_axis(Vinv.reshape(P, 9), 16, 1).T, Pp, 1)[:16]
+    ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
+    ci = _pad_axis(ci[None, :], EB, 1, value=Cp)  # [1, Ep]
+
+    grid = (Ep // EB,)
+    kernel = _schur_matvec_kernel(Cp, K, exact)
+
+    @jax.jit
+    def off(v):
+        vp = _pad_axis(_pad_axis(v, 8, 1), Cp, 0)  # [Cp, F8]
+        vg = jnp.transpose(vp.reshape(H, G, F8), (1, 2, 0)).reshape(G * F8, H)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((G * F8, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, EB // K), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((H, G * F8), lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, G * F8), jnp.float32),
+            interpret=interpret,
+        )(vg, WT, VinvT, ci)
+        return out.reshape(H, G, F8).reshape(Cp, F8)[:C, :6]
+
+    return off
+
+
+def schur_matvec_reference(W, Vinv, cam_idx, C: int):
+    """jnp golden for make_schur_matvec."""
+
+    def off(v):
+        ci = jnp.clip(cam_idx, 0, C - 1)
+        vk = v[ci]  # [P,K,6]
+        y1 = jnp.einsum("pkij,pki->pkj", W, vk)
+        y2 = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(y1, axis=1))
+        y3 = jnp.einsum("pkij,pj->pki", W, y2)
+        onehot = jax.nn.one_hot(ci, C, dtype=jnp.float32)
+        return jnp.einsum("pkc,pki->ci", onehot, y3)
+
+    return off
+
+
+def cam_reduce_reference(y, cam_idx, C: int):
+    """jnp golden: segment-sum with out-of-range drop."""
+    ok = (cam_idx >= 0) & (cam_idx < C)
+    ci = jnp.where(ok, cam_idx, 0)
+    return jax.ops.segment_sum(
+        jnp.where(ok[:, None], y, 0.0), ci, num_segments=C
+    )
+
+
+def cam_broadcast_reference(v, cam_idx, C: int):
+    ok = (cam_idx >= 0) & (cam_idx < C)
+    return jnp.where(ok[:, None], v[jnp.clip(cam_idx, 0, C - 1)], 0.0)

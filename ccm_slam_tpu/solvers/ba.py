@@ -129,15 +129,52 @@ def _pcg_transitions(cam_idx, C: int, G: int = 16):
         Z = jnp.matmul(oh_hi, vp.reshape(H, G * F), precision=prec)  # [E,G*F]
         return jnp.einsum("eg,egf->ef", oh_lo, Z.reshape(-1, G, F), precision=prec)
 
-    def reduce(y):
+    def reduce(y, exact: bool = False):
         """y [E,F] -> per-camera sums [C,F] (segment-sum by ci; bf16-multiply
         rounding on the payload, f32 accumulation — used for normal-equation
-        blocks and CG reductions where LM's exact-cost gate absorbs it)."""
+        blocks and CG reductions where LM's exact-cost gate absorbs it).
+        `exact` is accepted for interface parity with the Pallas operators
+        (the staged-einsum form has no cheap exact mode)."""
         z = oh_lo[:, :, None] * y[:, None, :]          # [E,G,F]
         out = jnp.einsum("eh,egf->hgf", oh_hi, z)      # [H,G,F] (MXU)
         return out.reshape(Cp, -1)[:C]
 
     return broadcast, reduce
+
+
+def _pcg_transitions_pallas(cam_idx, C: int):
+    """Pallas-backed transition operators: the one-hot is generated in VMEM
+    from an iota==cam_idx compare (ops/pallas_kernels.cam_broadcast/_reduce),
+    so each call streams only the payload from HBM (~13x less traffic than
+    the factored-one-hot XLA path at stress scale)."""
+    from ..ops import pallas_kernels as pk
+
+    ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
+
+    def broadcast(v, exact: bool = False):
+        return pk.cam_broadcast(v, ci, C, exact=exact)
+
+    def reduce(y, exact: bool = False):
+        # exact (multi-pass f32) only where it matters (normal-equation
+        # assembly); CG work vectors tolerate bf16-payload rounding exactly
+        # as on the XLA path (LM's exact cost gate absorbs it)
+        return pk.cam_reduce(y, ci, C, exact=exact)
+
+    return broadcast, reduce
+
+
+def _resolve_pcg_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    import os
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() not in ("cpu",)
+    if not on_tpu:
+        return "xla"
+    # hardware-verified kernels; CCM_PCG_PALLAS=0 forces the XLA path
+    return "xla" if os.environ.get("CCM_PCG_PALLAS", "1") == "0" else "pallas"
 
 
 def _build_normal_blocks(prob: BAProblem, R, t, X, huber_delta, trans=None):
@@ -175,7 +212,8 @@ def _build_normal_blocks(prob: BAProblem, R, t, X, huber_delta, trans=None):
     E = ci.size
     if cam_reduce is not None:
         red = cam_reduce(
-            jnp.concatenate([U_blk.reshape(E, 36), g_blk.reshape(E, 6)], axis=-1)
+            jnp.concatenate([U_blk.reshape(E, 36), g_blk.reshape(E, 6)], axis=-1),
+            exact=True,
         )  # [C,42]
         U = red[:, :36].reshape(C, 6, 6)
         g_c = red[:, 36:]
@@ -278,7 +316,8 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
 
 
 def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
-                     cam_bcast, cam_reduce, cg_iters: int = 60):
+                     cam_bcast, cam_reduce, cg_iters: int = 60,
+                     fused_matvec: bool = False):
     """Matrix-free Schur solve for LARGE camera counts.
 
     The dense reduced system costs O(C^2 P) to assemble — prohibitive at
@@ -299,15 +338,26 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
 
     active = ~prob.cam_fixed & (jnp.diagonal(U_d, axis1=-2, axis2=-1).sum(-1) > 1e-6)
 
-    def S_mv(v):  # v [C,6]
-        v = jnp.where(active[:, None], v, 0.0)
-        vk = cam_bcast(v).reshape(*ci.shape, 6)  # [P,K,6]
-        y1 = jnp.einsum("pkij,pki->pkj", W, vk)  # W^T v per obs -> [P,K,3]
-        y2 = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(y1, axis=1))  # [P,3]
-        y3 = jnp.einsum("pkij,pj->pki", W, y2)  # [P,K,6]
-        off = cam_reduce(y3.reshape(E, 6))
-        out = jnp.einsum("cij,cj->ci", U_d, v) - off
-        return jnp.where(active[:, None], out, v)
+    if fused_matvec:
+        # one Pallas kernel per CG step: payload-only HBM traffic
+        from ..ops import pallas_kernels as pk
+
+        off_mv = pk.make_schur_matvec(W, Vinv, prob.cam_idx, C)
+
+        def S_mv(v):
+            v = jnp.where(active[:, None], v, 0.0)
+            out = jnp.einsum("cij,cj->ci", U_d, v) - off_mv(v)
+            return jnp.where(active[:, None], out, v)
+    else:
+        def S_mv(v):  # v [C,6]
+            v = jnp.where(active[:, None], v, 0.0)
+            vk = cam_bcast(v).reshape(*ci.shape, 6)  # [P,K,6]
+            y1 = jnp.einsum("pkij,pki->pkj", W, vk)  # W^T v per obs -> [P,K,3]
+            y2 = jnp.einsum("pij,pj->pi", Vinv, jnp.sum(y1, axis=1))  # [P,3]
+            y3 = jnp.einsum("pkij,pj->pki", W, y2)  # [P,K,6]
+            off = cam_reduce(y3.reshape(E, 6))
+            out = jnp.einsum("cij,cj->ci", U_d, v) - off
+            return jnp.where(active[:, None], out, v)
 
     b = g_c - cam_reduce(
         jnp.einsum("pkij,pj->pki", W, jnp.einsum("pij,pj->pi", Vinv, g_p)).reshape(E, 6)
@@ -346,9 +396,9 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     return delta_c, delta_p
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "pcg_backend"))
 def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
-             cg_iters: int = 32):
+             cg_iters: int = 32, pcg_backend: str = "auto"):
     """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
 
     Interruptibility contract (the reference's INTERRUPTBA / stop-flag,
@@ -362,9 +412,14 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
     C = prob.R.shape[0]
     use_pcg = C > 192
     if use_pcg:
-        # factored transition operators, once per solve (cam_idx is constant
-        # across LM iterations)
-        trans = _pcg_transitions(prob.cam_idx, C)
+        # transition operators, once per solve (cam_idx is constant across
+        # LM iterations); Pallas in-VMEM one-hot on TPU, factored XLA one-hot
+        # elsewhere
+        use_pallas = _resolve_pcg_backend(pcg_backend) == "pallas"
+        if use_pallas:
+            trans = _pcg_transitions_pallas(prob.cam_idx, C)
+        else:
+            trans = _pcg_transitions(prob.cam_idx, C)
         cam_bcast, cam_reduce = trans
     else:
         trans = None
@@ -378,7 +433,7 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         if use_pcg:
             delta_c, delta_p = _solve_schur_pcg(
                 prob, U, V, W, g_c, g_p, ci, lam, cam_bcast, cam_reduce,
-                cg_iters=cg_iters,
+                cg_iters=cg_iters, fused_matvec=use_pallas,
             )
         else:
             delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
