@@ -95,6 +95,19 @@ class MapMsg:
         )
 
 
+# MapMsg travels across process boundaries (native TCP transport): register
+# it as a pytree so generic leaf conversion (device->host before pickling)
+# descends into it.
+jax.tree_util.register_pytree_node(
+    MapMsg,
+    lambda m: (
+        (m.kfs, m.mps, m.ack_kf_ids, m.ack_mp_ids),
+        (m.weak_ack_kf_id, m.weak_ack_mp_id, m.closest_kf_id, m.msg_id),
+    ),
+    lambda aux, ch: MapMsg(ch[0], ch[1], ch[2], ch[3], *aux),
+)
+
+
 @dataclass
 class ClientCommState:
     """Per-entity send state machine, arena-aligned (client side)."""

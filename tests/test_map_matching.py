@@ -13,71 +13,9 @@ from ccm_slam_tpu.runtime.map_matching import MapMatcher
 from ccm_slam_tpu.utils.camera import Camera
 from ccm_slam_tpu.utils.lie import SE3, Sim3, so3_exp
 
-N_FEAT = 96
-FX, FY, CX, CY = 458.654, 457.296, 367.215, 248.375
-
-
-def make_world(rng, n=260):
-    lx = rng.uniform(-2, 6, n)
-    ly = rng.uniform(-1.5, 1.5, n)
-    lz = rng.uniform(5.5, 7.0, n)
-    return np.stack([lx, ly, lz], 1).astype(np.float32), rng.randint(
-        0, 256, (n, 32), dtype=np.uint8
-    )
-
-
-def build_agent_map(world, wdesc, xs, gauge: Sim3, kf_id_base=0, client_id=0):
-    """KFs at world x positions `xs` looking +z; map stored in `gauge`'s frame
-    (world' = gauge(world))."""
-    m = ms.empty_map(16, 1024, N_FEAT, 8)
-    lm_arena = {}
-    lx = world[:, 0]
-    for k, xt in enumerate(xs):
-        T_true = SE3(R=jnp.eye(3), t=-jnp.array([xt, 0.0, 0.0]))
-        vis = np.where(np.abs(lx - xt) < 1.6)[0][:N_FEAT]
-        Xc = np.asarray(T_true.apply(jnp.asarray(world[vis])))
-        uv = np.stack([FX * Xc[:, 0] / Xc[:, 2] + CX, FY * Xc[:, 1] / Xc[:, 2] + CY], 1)
-        n = len(vis)
-        new = [wi for wi in vis if wi not in lm_arena]
-        if new:
-            B = len(new)
-            pos = np.asarray(gauge.apply(jnp.asarray(world[new])))
-            pad = max(0, N_FEAT - B)
-            m, idxs = ms.add_mappoints(
-                m,
-                n_new=jnp.int32(B),
-                pos=jnp.asarray(np.pad(pos, ((0, pad), (0, 0)))[:N_FEAT]),
-                desc=jnp.asarray(np.pad(np.stack([wdesc[w] for w in new]), ((0, pad), (0, 0)))[:N_FEAT]),
-                normal=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (N_FEAT, 1)),
-                min_dist=jnp.full(N_FEAT, 0.01),
-                max_dist=jnp.full(N_FEAT, 100.0),
-                ref_kf=jnp.full(N_FEAT, k, jnp.int32),
-                mp_ids=jnp.arange(N_FEAT, dtype=jnp.int32) + k * N_FEAT,
-                client_id=jnp.full(N_FEAT, client_id, jnp.int32),
-                new_valid=jnp.arange(N_FEAT) < B,
-            )
-            for bi, wi in enumerate(new):
-                lm_arena[wi] = int(idxs[bi])
-        assoc = np.full(N_FEAT, -1, np.int32)
-        for j, wi in enumerate(vis):
-            assoc[j] = lm_arena[wi]
-        # pose in the gauge frame: T'_cw = se3( T_cw o gauge^-1 )
-        Tg = T_true.to_sim3().compose(gauge.inverse())
-        T_est = Tg.to_se3_scaled()
-        xy = np.zeros((N_FEAT, 2), np.float32)
-        xy[:n] = uv
-        desc = np.zeros((N_FEAT, 32), np.uint8)
-        desc[:n] = wdesc[vis]
-        valid = np.zeros(N_FEAT, bool)
-        valid[:n] = True
-        m, _ = ms.add_keyframe(
-            m, jnp.int32(kf_id_base + k), jnp.int32(client_id), jnp.float32(k * 0.5),
-            T_est.R, T_est.t,
-            jnp.asarray(xy), jnp.asarray(desc), jnp.zeros(N_FEAT, jnp.int32),
-            jnp.zeros(N_FEAT), jnp.asarray(valid), jnp.asarray(assoc),
-        )
-    return m
-
+# world/agent-map builders now live in the package (shared with the
+# multi-process deployment runner); re-exported here for the other tests
+from ccm_slam_tpu.io.synthetic import CX, CY, FX, FY, N_FEAT, build_agent_map, make_world
 
 @pytest.fixture(scope="module")
 def merged():
