@@ -425,7 +425,7 @@ def _schur_matvec_kernel(Cp: int, K: int, exact: bool):
 
 
 def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, WT=None):
     """Prepare the fused off-diagonal Schur matvec.
 
     W [P, K, 6, 3] f32, Vinv [P, 3, 3] f32 (damped inverse), cam_idx [P, K]
@@ -433,6 +433,9 @@ def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
     ``sum_e onehot(ci) W_e Vinv_{p} sum_{e' in p} W_{e'}^T v[ci']``.
     Invalid observations must carry zero W rows (they do: the Jacobians are
     masked in _build_normal_blocks).
+
+    ``WT`` — the [24, Ep'] obs-major packing from ``fused_normal_blocks`` —
+    skips the packing transpose (W is then ignored and may be None).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -453,8 +456,12 @@ def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
     Ep = -(-E // EB) * EB
     Pp = Ep // K
 
-    WT = _pad_axis(_pad_axis(W.reshape(E, 18), 8, 1).T, EB, 1)[:24]  # [24, Ep]
-    WT = _pad_rows(WT, 24) if WT.shape[0] < 24 else WT
+    if WT is None:
+        WT = _pad_axis(_pad_axis(W.reshape(E, 18), 8, 1).T, EB, 1)[:24]  # [24, Ep]
+        WT = _pad_rows(WT, 24) if WT.shape[0] < 24 else WT
+    else:
+        # re-pad to this kernel's block multiple (padded tail rows are zero)
+        WT = _pad_axis(WT[:, : max(E, Ep)], Ep, 1)[:, :Ep]
     VinvT = _pad_axis(_pad_axis(Vinv.reshape(P, 9), 16, 1).T, Pp, 1)[:16]
     ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
     ci = _pad_axis(ci[None, :], EB, 1, value=Cp)  # [1, Ep]
@@ -483,6 +490,379 @@ def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
         return out.reshape(H, G, F8).reshape(Cp, F8)[:C, :6]
 
     return off
+
+
+# ---------------------------------------------------------------------------
+# Fused normal-equation assembly: residuals -> Jacobians -> U/V/W/g/cost in
+# ONE pass over the observations.
+#
+# The XLA path (solvers/ba._build_normal_blocks) materializes every
+# intermediate in HBM: Rc [E,9], Jc [E,12] (+weighted copy), U_blk [E,36],
+# W [E,18], plus 3-pass exact reductions — measured 60 ms/LM-iter at stress
+# scale (C=1024, E=1M) against ~2 ms of unavoidable traffic.  Here each
+# observation block is processed entirely in VMEM: camera poses arrive via
+# the factored in-VMEM one-hot broadcast, landmark positions via the
+# block-diagonal point one-hot, all Jacobian/residual algebra is straight-
+# line VPU math, and only the final products leave the chip:
+#   WT   [24, Ep]   per-obs camera-point coupling (the CG matvec's layout)
+#   Vg   [16, Pp]   per-landmark V (9) + g_p (3)
+#   Ug   [H, G*48]  per-camera U (36) + g_c (6), factored-one-hot reduced
+#   cost [8, 128]   partial sums of the Huber cost of the CURRENT state
+#
+# Semantics match _build_normal_blocks + _cost exactly (f32, HIGHEST-precision
+# dots where payload values ride a one-hot).
+# ---------------------------------------------------------------------------
+
+
+def _seg_onehot(EB: int, K: int):
+    """Block-diagonal point<->observation one-hot [EB, PB] (obs e belongs to
+    landmark e // K; landmarks are contiguous runs of K slots)."""
+    import jax.lax as lax
+
+    PB = EB // K
+    return (
+        lax.broadcasted_iota(jnp.int32, (EB, PB), 0) // K
+        == lax.broadcasted_iota(jnp.int32, (EB, PB), 1)
+    ).astype(jnp.float32)
+
+
+def _normal_blocks_kernel(Cp: int, K: int, delta: float):
+    from jax.experimental import pallas as pl
+
+    G = G_FACTOR
+    H = Cp // G
+    HI = jax.lax.Precision.HIGHEST
+    d2 = delta * delta
+
+    def kernel(vg_ref, XT_ref, obs_ref, ci_ref, intr_ref, WT_ref, Vg_ref, Ug_ref, cost_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            Ug_ref[:] = jnp.zeros(Ug_ref.shape, jnp.float32)
+            cost_ref[:] = jnp.zeros(cost_ref.shape, jnp.float32)
+
+        fx, fy, cx, cy = intr_ref[0, 0], intr_ref[0, 1], intr_ref[0, 2], intr_ref[0, 3]
+        ci = ci_ref[:]  # [1, EB]
+        EB = ci.shape[1]
+        PB = EB // K
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+        seg = _seg_onehot(EB, K)  # [EB, PB]
+
+        # camera fields -> observation lanes (rows: R 0..8, t 9..11, var 12)
+        Z = jax.lax.dot_general(
+            vg_ref[:], oh_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [G*16, EB]
+        cam = jnp.sum(Z.reshape(G, 16, EB) * oh_lo[:, None, :], axis=0)  # [16, EB]
+        R3 = cam[0:9].reshape(3, 3, EB)
+        tc = cam[9:12]
+        var_e = cam[12]
+
+        # landmark fields -> observation lanes (rows: X 0..2, valid 3)
+        Xl = jax.lax.dot_general(
+            XT_ref[:], seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [8, EB]
+        Xe = Xl[0:3]
+        pvalid = Xl[3]
+
+        u_m, v_m, sigma2, ovalid = obs_ref[0], obs_ref[1], obs_ref[2], obs_ref[3]
+
+        # residual (reproj.project_residual)
+        Xc = jnp.sum(R3 * Xe[None, :, :], axis=1) + tc  # [3, EB]
+        x, y, z = Xc[0], Xc[1], Xc[2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz = 1.0 / z_safe
+        r0 = fx * x * iz + cx - u_m
+        r1 = fy * y * iz + cy - v_m
+
+        valid = (ovalid > 0.5) & (pvalid > 0.5) & (z > 1e-6)
+        w_conf = jnp.where(valid, 1.0 / jnp.where(sigma2 > 0, sigma2, 1.0), 0.0)
+        chi2 = w_conf * (r0 * r0 + r1 * r1)
+        sq = jnp.sqrt(jnp.clip(chi2, 1e-12, None))
+        w_rob = jnp.where(chi2 <= d2, 1.0, delta / sq)
+        w = w_conf * w_rob
+        rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * jnp.sqrt(jnp.clip(chi2, 0.0, None)) - d2)
+
+        # Jacobians (reproj.pose_point_jacobians, left-mult [rho, phi])
+        a = fx * iz
+        b = -fx * x * iz * iz
+        c = fy * iz
+        d = -fy * y * iz * iz
+        zero = jnp.zeros_like(a)
+        Jc0 = [a, zero, b, b * y, a * z - b * x, -a * y]
+        Jc1 = [zero, c, d, -c * z + d * y, -d * x, c * x]
+        Jp0 = [a * R3[0, i] + b * R3[2, i] for i in range(3)]
+        Jp1 = [c * R3[1, i] + d * R3[2, i] for i in range(3)]
+        gate = jnp.where(w > 0, 1.0, 0.0)
+        gc_gate = gate * var_e  # fixed cameras: no pose Jacobian
+        Jc0 = [e * gc_gate for e in Jc0]
+        Jc1 = [e * gc_gate for e in Jc1]
+        Jp0 = [e * gate for e in Jp0]
+        Jp1 = [e * gate for e in Jp1]
+
+        # W = w Jc^T Jp  [18, EB] (+6 zero pad rows)
+        W_rows = [
+            w * (Jc0[i] * Jp0[jj] + Jc1[i] * Jp1[jj])
+            for i in range(6)
+            for jj in range(3)
+        ]
+        WT_ref[:] = jnp.stack(W_rows + [zero] * 6, axis=0)
+
+        # V = w Jp^T Jp (9), g_p = -w Jp^T r (3) -> segment-reduce to points
+        V_rows = [
+            w * (Jp0[i] * Jp0[jj] + Jp1[i] * Jp1[jj])
+            for i in range(3)
+            for jj in range(3)
+        ]
+        gp_rows = [-w * (Jp0[i] * r0 + Jp1[i] * r1) for i in range(3)]
+        Vg = jnp.stack(V_rows + gp_rows + [zero] * 4, axis=0)  # [16, EB]
+        Vg_ref[:] = jax.lax.dot_general(
+            Vg, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [16, PB]
+
+        # U = w Jc^T Jc (36), g_c = -w Jc^T r (6) -> camera reduce
+        U_rows = [
+            w * (Jc0[i] * Jc0[jj] + Jc1[i] * Jc1[jj])
+            for i in range(6)
+            for jj in range(6)
+        ]
+        gc_rows = [-w * (Jc0[i] * r0 + Jc1[i] * r1) for i in range(6)]
+        Ug = jnp.stack(U_rows + gc_rows + [zero] * 6, axis=0)  # [48, EB]
+        zz = oh_lo[:, None, :] * Ug[None, :, :]  # [G, 48, EB]
+        Ug_ref[:] += jax.lax.dot_general(
+            oh_hi, zz.reshape(G * 48, EB), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [H, G*48]
+
+        # Huber cost partial sums (invalid lanes have chi2 = 0 -> rho = 0)
+        rows = EB // 128
+        rho2 = rho.reshape(rows, 128)
+        pad = (-rows) % 8
+        rho2 = _pad_rows(rho2, rows + pad)
+        cost_ref[:] += jnp.sum(rho2.reshape(-1, 8, 128), axis=0)
+
+    return kernel
+
+
+def _obs_block_size(K: int) -> int:
+    EB = K * 128
+    while EB < 1024:
+        EB *= 2
+    if EB > 2048:
+        raise ValueError(f"K={K} too large for the fused normal-blocks kernel")
+    return EB
+
+
+def _pack_problem(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C: int):
+    """Host-side packing shared by the fused kernels."""
+    G = G_FACTOR
+    P, K = cam_idx.shape
+    E = P * K
+    EB = _obs_block_size(K)
+    Ep = -(-E // EB) * EB
+    PB = EB // K
+    Pp = Ep // K
+    Cp = -(-C // 128) * 128
+    H = Cp // G
+
+    XT = jnp.concatenate(
+        [X.T.astype(jnp.float32), point_valid[None].astype(jnp.float32),
+         jnp.zeros((4, P), jnp.float32)], axis=0,
+    )  # [8, P]
+    XT = _pad_axis(XT, Pp, 1)
+
+    obs = jnp.stack(
+        [uv[..., 0].reshape(-1), uv[..., 1].reshape(-1),
+         sigma2.reshape(-1), obs_valid.reshape(-1).astype(jnp.float32)], axis=0,
+    ).astype(jnp.float32)  # [4, E]
+    obs = _pad_axis(jnp.concatenate([obs, jnp.zeros((4, E), jnp.float32)]), EB, 1)
+
+    ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
+    ci = _pad_axis(ci[None, :], EB, 1, value=Cp)
+
+    return EB, Ep, PB, Pp, Cp, H, XT, obs, ci
+
+
+def _pack_cameras(R, t, cam_fixed, C: int, Cp: int):
+    """[Cp, 16] camera rows (R 9, t 3, var 1) -> vg [G*16, H]."""
+    G = G_FACTOR
+    H = Cp // G
+    var = (~cam_fixed).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [R.reshape(C, 9), t, var[:, None], jnp.zeros((C, 3), jnp.float32)], axis=-1
+    )
+    rows = _pad_axis(rows, Cp, 0)  # [Cp, 16]
+    return jnp.transpose(rows.reshape(H, G, 16), (1, 2, 0)).reshape(G * 16, H)
+
+
+@partial(jax.jit, static_argnames=("C", "huber_delta", "interpret"))
+def fused_normal_blocks(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
+                        cam_fixed, C: int, fx, fy, cx, cy,
+                        huber_delta: float, interpret: bool = False):
+    """One-pass normal-equation assembly on TPU.
+
+    Returns (U [C,6,6], V [P,3,3], WT [24, Ep], g_c [C,6], g_p [P,3],
+    cost_current scalar).  WT is the padded obs-major transpose of W — the
+    exact layout ``make_schur_matvec``'s kernel consumes; recover
+    W [P,K,6,3] with ``unpack_WT``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    P, K = cam_idx.shape
+    EB, Ep, PB, Pp, Cp, H, XT, obs, ci = _pack_problem(
+        R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C
+    )
+    vg = _pack_cameras(R, t, cam_fixed, C, Cp)
+
+    grid = (Ep // EB,)
+    intr = jnp.zeros((1, 128), jnp.float32)
+    intr = intr.at[0, 0].set(fx).at[0, 1].set(fy).at[0, 2].set(cx).at[0, 3].set(cy)
+    kernel = _normal_blocks_kernel(Cp, K, float(huber_delta))
+    WT, Vg, Ug, cost = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G * 16, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((24, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G * 48), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((24, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((H, G * 48), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(vg, XT, obs, ci, intr)
+
+    UgC = Ug.reshape(H, G, 48).reshape(Cp, 48)[:C]
+    U = UgC[:, :36].reshape(C, 6, 6)
+    g_c = UgC[:, 36:42]
+    VgP = Vg[:, :P].T
+    V = VgP[:, :9].reshape(P, 3, 3)
+    g_p = VgP[:, 9:12]
+    return U, V, WT, g_c, g_p, jnp.sum(cost)
+
+
+def unpack_WT(WT, P: int, K: int):
+    """WT [24, Ep] -> W [P, K, 6, 3]."""
+    E = P * K
+    return WT[:18, :E].T.reshape(P, K, 6, 3)
+
+
+def _reproj_cost_kernel(Cp: int, K: int, delta: float):
+    from jax.experimental import pallas as pl
+
+    G = G_FACTOR
+    H = Cp // G
+    HI = jax.lax.Precision.HIGHEST
+    d2 = delta * delta
+
+    def kernel(vg_ref, XT_ref, obs_ref, ci_ref, intr_ref, cost_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            cost_ref[:] = jnp.zeros(cost_ref.shape, jnp.float32)
+
+        fx, fy, cx, cy = intr_ref[0, 0], intr_ref[0, 1], intr_ref[0, 2], intr_ref[0, 3]
+        ci = ci_ref[:]
+        EB = ci.shape[1]
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+        seg = _seg_onehot(EB, K)
+
+        Z = jax.lax.dot_general(
+            vg_ref[:], oh_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        cam = jnp.sum(Z.reshape(G, 16, EB) * oh_lo[:, None, :], axis=0)
+        R3 = cam[0:9].reshape(3, 3, EB)
+        tc = cam[9:12]
+        Xl = jax.lax.dot_general(
+            XT_ref[:], seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        Xe = Xl[0:3]
+        pvalid = Xl[3]
+        u_m, v_m, sigma2, ovalid = obs_ref[0], obs_ref[1], obs_ref[2], obs_ref[3]
+
+        Xc = jnp.sum(R3 * Xe[None, :, :], axis=1) + tc
+        z = Xc[2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz = 1.0 / z_safe
+        r0 = fx * Xc[0] * iz + cx - u_m
+        r1 = fy * Xc[1] * iz + cy - v_m
+        valid = (ovalid > 0.5) & (pvalid > 0.5) & (z > 1e-6)
+        w_conf = jnp.where(valid, 1.0 / jnp.where(sigma2 > 0, sigma2, 1.0), 0.0)
+        chi2 = w_conf * (r0 * r0 + r1 * r1)
+        rho = jnp.where(
+            chi2 <= d2, chi2, 2.0 * delta * jnp.sqrt(jnp.clip(chi2, 0.0, None)) - d2
+        )
+        rows = EB // 128
+        rho2 = rho.reshape(rows, 128)
+        pad = (-rows) % 8
+        rho2 = _pad_rows(rho2, rows + pad)
+        cost_ref[:] += jnp.sum(rho2.reshape(-1, 8, 128), axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("C", "huber_delta", "interpret"))
+def fused_reproj_cost(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
+                      C: int, fx, fy, cx, cy, huber_delta: float,
+                      interpret: bool = False):
+    """Huber reprojection cost in one payload-only pass (== solvers.ba._cost)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    P, K = cam_idx.shape
+    EB, Ep, PB, Pp, Cp, H, XT, obs, ci = _pack_problem(
+        R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C
+    )
+    vg = _pack_cameras(R, t, jnp.zeros((C,), bool), C, Cp)
+
+    intr = jnp.zeros((1, 128), jnp.float32)
+    intr = intr.at[0, 0].set(fx).at[0, 1].set(fy).at[0, 2].set(cx).at[0, 3].set(cy)
+    kernel = _reproj_cost_kernel(Cp, K, float(huber_delta))
+    cost = pl.pallas_call(
+        kernel,
+        grid=(Ep // EB,),
+        in_specs=[
+            pl.BlockSpec((G * 16, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(vg, XT, obs, ci, intr)
+    return jnp.sum(cost)
 
 
 def schur_matvec_reference(W, Vinv, cam_idx, C: int):

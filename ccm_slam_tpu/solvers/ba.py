@@ -317,7 +317,8 @@ def _solve_schur(prob: BAProblem, U, V, W, g_c, g_p, ci, lam):
 
 def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
                      cam_bcast, cam_reduce, cg_iters: int = 60,
-                     fused_matvec: bool = False):
+                     fused_matvec: bool = False, WT=None, x0=None,
+                     cg_rel_tol: float = 1e-2):
     """Matrix-free Schur solve for LARGE camera counts.
 
     The dense reduced system costs O(C^2 P) to assemble — prohibitive at
@@ -342,7 +343,7 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
         # one Pallas kernel per CG step: payload-only HBM traffic
         from ..ops import pallas_kernels as pk
 
-        off_mv = pk.make_schur_matvec(W, Vinv, prob.cam_idx, C)
+        off_mv = pk.make_schur_matvec(W, Vinv, prob.cam_idx, C, WT=WT)
 
         def S_mv(v):
             v = jnp.where(active[:, None], v, 0.0)
@@ -369,8 +370,24 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     def M_inv(r):
         return jnp.where(active[:, None], jnp.einsum("cij,cj->ci", Uinv, r), r)
 
-    def cg_step(carry, _):
-        x, r, z, p, rz = carry
+    # warm start from the previous LM iteration's step (the Schur system
+    # changes slowly across iterations); inexact-Newton stop: LM only needs
+    # the step direction to ~cg_rel_tol residual — the exact-cost accept
+    # gate absorbs the truncation.
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    else:
+        x0 = jnp.where(active[:, None], x0, 0.0)
+    r0 = b - S_mv(x0)
+    z0 = M_inv(r0)
+    stop2 = (cg_rel_tol * cg_rel_tol) * jnp.sum(b * b) + 1e-30
+
+    def cg_cond(carry):
+        x, r, z, p, rz, it = carry
+        return (it < cg_iters) & (jnp.sum(r * r) > stop2)
+
+    def cg_body(carry):
+        x, r, z, p, rz, it = carry
         Ap = S_mv(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -380,13 +397,10 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
         p = z + beta * p
-        return (x, r, z, p, rz_new), rz_new
+        return (x, r, z, p, rz_new, it + 1)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = M_inv(r0)
-    (delta_c, _, _, _, _), _ = jax.lax.scan(
-        cg_step, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
+    delta_c, _, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0), jnp.int32(0))
     )
     delta_c = jnp.where(prob.cam_fixed[:, None], 0.0, delta_c)
 
@@ -396,7 +410,7 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     return delta_c, delta_p
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "pcg_backend"))
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "cg_iters", "pcg_backend"))
 def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
              cg_iters: int = 32, pcg_backend: str = "auto"):
     """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
@@ -410,7 +424,9 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
     # shape-static solver selection: the dense reduced system is O(C^2 P) to
     # assemble — use it for local-BA-sized problems, matrix-free PCG beyond
     C = prob.R.shape[0]
+    P, K = prob.cam_idx.shape
     use_pcg = C > 192
+    use_pallas = False
     if use_pcg:
         # transition operators, once per solve (cam_idx is constant across
         # LM iterations); Pallas in-VMEM one-hot on TPU, factored XLA one-hot
@@ -425,15 +441,38 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         trans = None
         cam_bcast = cam_reduce = None
 
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+
+        def build_blocks(R, t, X):
+            # one-pass fused assembly (residuals -> Jacobians -> blocks)
+            U, V, WT, g_c, g_p, _ = pk.fused_normal_blocks(
+                R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
+                prob.obs_valid, prob.cam_fixed, C,
+                prob.fx, prob.fy, prob.cx, prob.cy, huber_delta,
+            )
+            ci = jnp.clip(prob.cam_idx, 0, C - 1)
+            return U, V, pk.unpack_WT(WT, P, K), g_c, g_p, ci, WT
+
+        def cost_fn(R, t, X):
+            return pk.fused_reproj_cost(
+                R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
+                prob.obs_valid, C, prob.fx, prob.fy, prob.cx, prob.cy, huber_delta,
+            )
+    else:
+        def build_blocks(R, t, X):
+            return (*_build_normal_blocks(prob, R, t, X, huber_delta, trans=trans), None)
+
+        def cost_fn(R, t, X):
+            return _cost(prob, R, t, X, huber_delta, cam_bcast=cam_bcast)
+
     def lm_iter(carry, _):
-        R, t, X, lam, cost = carry  # cost of the CURRENT state, carried over
-        U, V, W, g_c, g_p, ci = _build_normal_blocks(
-            prob, R, t, X, huber_delta, trans=trans
-        )
+        R, t, X, lam, cost, dc_prev = carry  # cost of the CURRENT state
+        U, V, W, g_c, g_p, ci, WT = build_blocks(R, t, X)
         if use_pcg:
             delta_c, delta_p = _solve_schur_pcg(
                 prob, U, V, W, g_c, g_p, ci, lam, cam_bcast, cam_reduce,
-                cg_iters=cg_iters, fused_matvec=use_pallas,
+                cg_iters=cg_iters, fused_matvec=use_pallas, WT=WT, x0=dc_prev,
             )
         else:
             delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
@@ -443,7 +482,7 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         t_new = (dR @ t[..., None])[..., 0] + dt
         X_new = X + delta_p
 
-        cost_new = _cost(prob, R_new, t_new, X_new, huber_delta, cam_bcast=cam_bcast)
+        cost_new = cost_fn(R_new, t_new, X_new)
         finite = (
             jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p)) & jnp.isfinite(cost_new)
         )
@@ -453,11 +492,14 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         X = jnp.where(accept, X_new, X)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-10), jnp.minimum(lam * 5.0, 1e8))
-        return (R, t, X, lam, cost), cost_new
+        dc_prev = jnp.where(finite, delta_c, jnp.zeros_like(delta_c))
+        return (R, t, X, lam, cost, dc_prev), cost_new
 
-    cost0 = _cost(prob, prob.R, prob.t, prob.X, huber_delta, cam_bcast=cam_bcast)
-    (R, t, X, _, _), costs = jax.lax.scan(
-        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0), None, length=iters
+    cost0 = cost_fn(prob.R, prob.t, prob.X)
+    dc0 = jnp.zeros((C, 6), jnp.float32)
+    (R, t, X, _, _, _), costs = jax.lax.scan(
+        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0, dc0), None,
+        length=iters,
     )
     _, _, _, chi2, valid, _ = _residuals_and_weights(
         prob, R, t, X, huber_delta, cam_bcast=cam_bcast

@@ -98,3 +98,95 @@ class TestCamTransitions:
             np.asarray(pk.cam_broadcast_reference(v, ci, 50)),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def _small_ba_problem(P=700, K=4, C=40, seed=0, fixed=2):
+    """Miniature BA problem with realistic structure (some invalid obs/points,
+    fixed cameras, behind-camera points)."""
+    from ccm_slam_tpu.solvers import ba
+
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-10, 10, (P, 3)).astype(np.float32)
+    X[:, 2] += 20.0
+    t = np.cumsum(rs.randn(C, 3).astype(np.float32) * 0.3, axis=0)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    fx, fy, cx, cy = 458.654, 457.296, 367.215, 248.375
+    cam_idx = rs.randint(0, C, (P, K)).astype(np.int32)
+    Xc = np.einsum("pkij,pj->pki", R[cam_idx], X) + t[cam_idx]
+    z = np.maximum(Xc[..., 2], 1.0)
+    uv = np.stack([fx * Xc[..., 0] / z + cx, fy * Xc[..., 1] / z + cy], -1).astype(np.float32)
+    uv += rs.randn(P, K, 2).astype(np.float32) * 2.0   # some large -> Huber active
+    X[:5, 2] = -30.0                                   # behind-camera gate
+    prob = ba.BAProblem(
+        R=jnp.asarray(R),
+        t=jnp.asarray(t + rs.randn(C, 3).astype(np.float32) * 0.05),
+        X=jnp.asarray(X + rs.randn(P, 3).astype(np.float32) * 0.1),
+        cam_idx=jnp.asarray(cam_idx),
+        uv=jnp.asarray(uv),
+        sigma2=jnp.asarray(1.0 + rs.rand(P, K).astype(np.float32)),
+        obs_valid=jnp.asarray(rs.rand(P, K) > 0.15),
+        cam_fixed=jnp.asarray(np.arange(C) < fixed),
+        point_valid=jnp.asarray(rs.rand(P) > 0.05),
+        fx=jnp.float32(fx), fy=jnp.float32(fy), cx=jnp.float32(cx), cy=jnp.float32(cy),
+    )
+    return prob
+
+
+class TestFusedNormalBlocks:
+    DELTA = 2.447651936
+
+    def _golden(self, prob):
+        from ccm_slam_tpu.solvers import ba
+
+        U, V, W, g_c, g_p, ci = ba._build_normal_blocks(
+            prob, prob.R, prob.t, prob.X, self.DELTA, trans=None
+        )
+        cost = ba._cost(prob, prob.R, prob.t, prob.X, self.DELTA)
+        return U, V, W, g_c, g_p, cost
+
+    @pytest.mark.parametrize("P,K,C", [(700, 4, 40), (300, 8, 130), (257, 12, 9)])
+    def test_matches_xla_path(self, P, K, C):
+        prob = _small_ba_problem(P=P, K=K, C=C, seed=P)
+        U, V, W, g_c, g_p, cost = self._golden(prob)
+        Uk, Vk, WTk, g_ck, g_pk, costk = pk.fused_normal_blocks(
+            prob.R, prob.t, prob.X, prob.point_valid, prob.cam_idx, prob.uv,
+            prob.sigma2, prob.obs_valid, prob.cam_fixed, C,
+            prob.fx, prob.fy, prob.cx, prob.cy, self.DELTA, interpret=True,
+        )
+        Wk = pk.unpack_WT(WTk, P, K)
+        # tolerances: f32 summation-order noise scales with the accumulation
+        # magnitude (verified against a float64 golden: both paths sit within
+        # ~2e-6 relative of it); atol is tied to the largest block entry
+        def close(a, b, rel=5e-3):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, rtol=rel, atol=1e-5 * np.abs(b).max() + 1e-6)
+        close(Uk, U)
+        close(Vk, V)
+        close(Wk, W)
+        close(g_ck, g_c)
+        close(g_pk, g_p)
+        assert abs(float(costk) - float(cost)) < 1e-4 * abs(float(cost)) + 1e-2
+
+    def test_fixed_cameras_zeroed(self):
+        prob = _small_ba_problem(P=300, K=4, C=20, fixed=5)
+        Uk, Vk, WTk, g_ck, g_pk, _ = pk.fused_normal_blocks(
+            prob.R, prob.t, prob.X, prob.point_valid, prob.cam_idx, prob.uv,
+            prob.sigma2, prob.obs_valid, prob.cam_fixed, 20,
+            prob.fx, prob.fy, prob.cx, prob.cy, self.DELTA, interpret=True,
+        )
+        assert np.allclose(np.asarray(Uk[:5]), 0.0)
+        assert np.allclose(np.asarray(g_ck[:5]), 0.0)
+        # fixed cameras still constrain landmarks through V
+        assert float(jnp.sum(jnp.abs(Vk))) > 0
+
+    def test_cost_kernel_matches(self):
+        from ccm_slam_tpu.solvers import ba
+
+        prob = _small_ba_problem(P=500, K=8, C=33, seed=3)
+        cost = float(ba._cost(prob, prob.R, prob.t, prob.X, self.DELTA))
+        costk = float(pk.fused_reproj_cost(
+            prob.R, prob.t, prob.X, prob.point_valid, prob.cam_idx, prob.uv,
+            prob.sigma2, prob.obs_valid, 33,
+            prob.fx, prob.fy, prob.cx, prob.cy, self.DELTA, interpret=True,
+        ))
+        assert abs(costk - cost) < 1e-4 * abs(cost) + 1e-2
