@@ -174,6 +174,17 @@ class SystemConfig:
 
 DEFAULT_CONFIG = SystemConfig()
 
+# KITTI odometry cam0 (reference conf/kitti_mono.yaml: rectified grayscale,
+# no distortion, 10 fps, identity T_SC)
+KITTI_CAMERA = CameraConfig(
+    width=1241, height=376,
+    fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+    k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+    fps=10.0,
+    t_sc=((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+          (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0)),
+)
+
 
 def tiny_test_config() -> SystemConfig:
     """Small-capacity config for fast unit tests."""

@@ -4,6 +4,9 @@ ROS launch files (Server.launch + Client<i>_euroc.launch + rosbag play).
 Single agent (BASELINE config 1/2):
   python scripts/run_euroc.py --seq /data/MH_01_easy --out out/
 
+KITTI odometry (reference conf/kitti_mono.yaml + launch/KITTI):
+  python scripts/run_euroc.py --dataset kitti --seq /data/kitti:07 --out out/
+
 Multi-agent centralized (config 3/4), staggered starts like readme.md:152:
   python scripts/run_euroc.py --seq /data/MH_01_easy /data/MH_02_easy \
       --starts 45 35 --out out/
@@ -25,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seq", nargs="+", required=True, help="EuRoC roots (mav0/ inside)")
+    ap.add_argument("--seq", nargs="+", required=True,
+                    help="EuRoC roots (mav0/ inside); for --dataset kitti use <root>:<seq>")
+    ap.add_argument("--dataset", default="euroc", choices=["euroc", "kitti"])
     ap.add_argument("--starts", nargs="*", type=float, default=None)
     ap.add_argument("--out", default="out")
     ap.add_argument("--limit", type=int, default=None, help="max frames per agent")
@@ -52,11 +57,21 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     cfg = DEFAULT_CONFIG
-    cam = Camera.from_config(cfg.camera)
     n_agents = len(args.seq)
     starts = args.starts or [0.0] * n_agents
 
-    seqs = [euroc.EurocSequence(root=r) for r in args.seq]
+    if args.dataset == "kitti":
+        from ccm_slam_tpu.config import KITTI_CAMERA
+        from ccm_slam_tpu.io.kitti import KittiSequence
+
+        seqs = []
+        for spec in args.seq:
+            root, _, nn = spec.rpartition(":")
+            seqs.append(KittiSequence(root=root or spec, seq=nn or "00"))
+        cfg = cfg.replace(camera=KITTI_CAMERA)
+    else:
+        seqs = [euroc.EurocSequence(root=r) for r in args.seq]
+    cam = Camera.from_config(cfg.camera)
     trackers = [Tracker(cfg=cfg, cam=cam, client_id=i) for i in range(n_agents)]
 
     server = None

@@ -192,3 +192,56 @@ class TestAnnotateAndLoad:
         assert int(m2.kfs.kf_id[0]) == 0
         assert server2.agents[0].kf_table == {0: 0}
         assert 0 in server2.agents[0].mp_table
+
+
+class TestKittiLoader:
+    def _make_seq(self, tmp_path, n=5):
+        from PIL import Image
+
+        seq_dir = tmp_path / "sequences" / "07"
+        (seq_dir / "image_0").mkdir(parents=True)
+        (tmp_path / "poses").mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            img = rng.randint(0, 255, (60, 200), dtype=np.uint8)
+            Image.fromarray(img).save(seq_dir / "image_0" / f"{i:06d}.png")
+        (seq_dir / "times.txt").write_text("".join(f"{i*0.1:.6e}\n" for i in range(n)))
+        (seq_dir / "calib.txt").write_text(
+            "P0: 718.856 0.0 607.1928 0.0 0.0 718.856 185.2157 0.0 0.0 0.0 1.0 0.0\n"
+            "P1: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+        )
+        poses = []
+        for i in range(n):
+            M = np.hstack([np.eye(3), [[i * 0.5], [0.0], [0.0]]])
+            poses.append(" ".join(f"{x:.6e}" for x in M.reshape(-1)))
+        (tmp_path / "poses" / "07.txt").write_text("\n".join(poses) + "\n")
+        return tmp_path
+
+    def test_frames_calib_gt(self, tmp_path):
+        from ccm_slam_tpu.io.kitti import KittiSequence
+
+        root = self._make_seq(tmp_path)
+        seq = KittiSequence(root=str(root), seq="07")
+        fx, fy, cx, cy = seq.calibration()
+        assert abs(fx - 718.856) < 1e-6 and abs(cy - 185.2157) < 1e-6
+        frames = list(seq.frames())
+        assert len(frames) == 5
+        assert frames[0].image.shape == (60, 200)
+        assert abs(frames[3].timestamp - 0.3) < 1e-9
+        ts, pos, R = seq.ground_truth()
+        assert pos.shape == (5, 3) and abs(pos[4, 0] - 2.0) < 1e-6
+        assert np.allclose(R[0], np.eye(3))
+        # start/limit windows
+        assert len(list(seq.frames(start=0.15))) == 3
+        assert len(list(seq.frames(limit=2))) == 2
+
+    def test_kitti_camera_preset(self):
+        from ccm_slam_tpu.config import KITTI_CAMERA
+        from ccm_slam_tpu.utils.camera import Camera
+
+        cam = Camera.from_config(KITTI_CAMERA)
+        # rectified: undistortion is identity
+        import jax.numpy as jnp
+        pts = jnp.asarray(np.array([[100.0, 50.0], [600.0, 300.0]], np.float32))
+        und = cam.undistort_pixels(pts)
+        assert np.allclose(np.asarray(und), np.asarray(pts), atol=1e-3)
