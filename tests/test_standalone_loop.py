@@ -91,3 +91,71 @@ class TestStandaloneLoop:
         sys_, est, gt, poses = loop_run
         assert sys_.finder is not None
         assert int(jnp.sum(sys_.finder.db.valid)) >= 10
+
+
+@pytest.fixture(scope="module")
+def loop_run_multioctave():
+    """The same out-and-back run with the multi-octave renderer: the scale-
+    invariance envelope (min/max_dist from the detection octave) survives the
+    2.2 m depth sweep, so the revisit keyframes keep enough landmark
+    associations for the Sim3 stage — closure fires deterministically.
+    (The single-octave fixture above collapses that envelope to +-20% and
+    documents the resulting run-sensitivity.)"""
+    from tests.test_tracking_e2e import render_frame_multioctave
+
+    cfg = SystemConfig(
+        extractor=ExtractorConfig(n_features=N_SLOTS, n_levels=4),
+        capacity=CapacityConfig(
+            max_keypoints=N_SLOTS, client_max_kfs=48, client_max_mps=4096,
+            # landmarks stay visible for the whole synthetic run: the obs
+            # table must hold the full revisit history or forward links get
+            # dropped (rebuild_observations cap discipline)
+            max_obs_per_mp=32,
+        ),
+        placerec=PlaceRecConfig(covisibility_consistency_th=1, new_loop_thres=10),
+    )
+    cam = Camera.from_config(CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0))
+    world = make_world(seed=21)
+    poses = loop_trajectory(110)
+    rng = np.random.RandomState(17)
+    sys_ = StandaloneSystem(cfg=cfg, cam=cam, n_words=512)
+    est, gt = [], []
+    for i, T in enumerate(poses):
+        f = render_frame_multioctave(world, T, cam, rng)
+        f = f.replace(timestamp=jnp.float32(i * 0.05))
+        out = sys_.process_frame(f)
+        if out is not None:
+            est.append(np.asarray(camera_centers(out.R_cw, out.t_cw)))
+            gt.append(np.asarray(camera_centers(T.R, T.t)))
+    return sys_, np.stack(est), np.stack(gt), poses
+
+
+class TestStandaloneLoopMultiOctave:
+    def test_loop_closed_and_gba_ran(self, loop_run_multioctave):
+        sys_, est, gt, poses = loop_run_multioctave
+        assert sys_.stats["loops_closed"] >= 1
+        assert sys_.stats["gba_runs"] >= 1
+        assert sys_.tracker.state == 1  # OK: closure + GBA kept tracking alive
+
+    def test_tracked_whole_run(self, loop_run_multioctave):
+        sys_, est, gt, poses = loop_run_multioctave
+        assert len(est) >= 0.9 * len(poses)
+
+    def test_loop_edge_recorded(self, loop_run_multioctave):
+        """The closure must leave a loop edge in the map (pose-graph input +
+        viewer marker data, LoopFinder::CorrectLoop bookkeeping)."""
+        sys_, *_ = loop_run_multioctave
+        m = sys_.tracker.map
+        loop_edges = np.asarray(m.kfs.loop_edge)
+        alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
+        assert (alive & (loop_edges >= 0)).sum() >= 1
+
+    def test_post_gba_keyframe_ate(self, loop_run_multioctave):
+        sys_, est, gt, poses = loop_run_multioctave
+        ts, R, t = sys_.keyframe_trajectory()
+        gt_centers = {round(i * 0.05, 3): np.asarray(camera_centers(T.R, T.t))
+                      for i, T in enumerate(poses)}
+        kf_est = np.asarray(camera_centers(jnp.asarray(R), jnp.asarray(t)))
+        kf_gt = np.stack([gt_centers[round(float(x), 3)] for x in ts])
+        rmse, _ = ate_rmse(kf_est, kf_gt)
+        assert rmse < 0.35, rmse
