@@ -19,7 +19,9 @@ on CPU / in tests (also used to golden-check the kernel in interpret mode).
 
 Status: semantics golden-verified in interpret mode; on the current
 remote-compile toolchain the hardware build of this kernel stalls in the
-Mosaic scheduler, so production matching stays on the XLA matmul path
+Mosaic scheduler (re-confirmed after the PCG kernel family compiled and
+shipped — the stall is specific to this kernel's shape, not Pallas use in
+general), so production matching stays on the XLA matmul path
 (ops/hamming.py) until the toolchain settles — swap in via
 ``matching.match_brute(..., backend="pallas")`` once it does.
 """
@@ -338,12 +340,13 @@ def cam_broadcast(v, cam_idx, C: int, exact: bool = False, interpret: bool = Fal
 #
 #   off(v)_c = sum_{e: ci[e]=c} W_e ( V_{p(e)}^-1 sum_{e' in p(e)} W_{e'}^T v_{ci[e']} )
 #
-# Observations are point-major ([P, K] flattened), so each landmark's K slots
-# are CONTIGUOUS in E: the point-side gather/scatter is a block-diagonal
-# one-hot generated in VMEM (iota e//K == iota p), and the camera-side
-# transitions reuse the factored hi/lo one-hots.  Per matvec the only HBM
-# traffic is W (18 f32/obs), Vinv (9 f32/landmark), cam_idx and v — ~84 MB at
-# stress scale vs ~2 GB for the staged-XLA form.
+# Observations are repacked ONCE per LM iteration into block-local k-major
+# blocks (lane = k*PB + p within each EB block): the point-side gather and
+# segment-sum degenerate to contiguous lane slices / lane tiling — zero
+# scratch, zero matmuls — and only the camera-side transitions need the
+# factored hi/lo one-hots.  Per matvec the only HBM traffic is W (18
+# f32/obs), Vinv (9 f32/landmark), cam_idx and v — ~84 MB at stress scale vs
+# ~2 GB for the staged-XLA form; fat 4k blocks keep the grid short.
 # ---------------------------------------------------------------------------
 
 
@@ -352,6 +355,34 @@ def _pad_rows(x, rows: int):
     need = rows - x.shape[0]
     return jnp.concatenate([x, jnp.zeros((need, *x.shape[1:]), x.dtype)], axis=0) \
         if need > 0 else x
+
+
+def _matvec_eb(K: int) -> int:
+    """Observation rows per matvec grid step.  Lane tiling needs EB a
+    multiple of K*128; VMEM (Z [G*8, EB] + U-reduce scratch [G, 8, EB])
+    allows fat ~4k blocks — fewer grid steps, less per-step overhead."""
+    base = K * 128
+    return base * max(1, 4096 // base)
+
+
+def _kmajor_cols(x, K: int, EB: int, pad_value=0):
+    """Re-order obs-major columns (e = p*K + k) into block-local k-major
+    blocks: within each EB-column block, lane l = k*PB + p_local.  Point
+    sums/broadcasts then become contiguous lane slices in-kernel — no
+    block-diagonal one-hot matmuls, no [EB, PB] scratch.
+
+    x: [R, E] (or [E] -> treated as [1, E]).  Returns [R, Ep]."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    R, E = x.shape
+    PB = EB // K
+    P = E // K
+    Pp = -(-P // PB) * PB
+    x = _pad_axis(x, Pp * K, 1, value=pad_value)
+    NB = Pp // PB
+    x = x.reshape(R, NB, PB, K).transpose(0, 1, 3, 2).reshape(R, NB * EB)
+    return x[0] if squeeze else x
 
 
 def _schur_matvec_kernel(Cp: int, K: int, exact: bool):
@@ -368,7 +399,7 @@ def _schur_matvec_kernel(Cp: int, K: int, exact: bool):
             out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
 
         prec = jax.lax.Precision.HIGHEST if exact else None
-        ci = ci_ref[:]  # [1, EB]
+        ci = ci_ref[:]  # [1, EB] (block-local k-major: lane = k*PB + p)
         EB = ci.shape[1]
         PB = EB // K
         GF8 = vg_ref.shape[0]
@@ -391,28 +422,20 @@ def _schur_matvec_kernel(Cp: int, K: int, exact: bool):
         W3 = WT_ref[:][:18].reshape(6, 3, EB)
         y1 = jnp.sum(W3 * vkT[:6][:, None, :], axis=0)  # [3, EB]
 
-        # 3) y2[j, p] = sum_{e in p} y1[j, e]   (block-diagonal one-hot)
-        seg = (
-            jax.lax.broadcasted_iota(jnp.int32, (EB, PB), 0) // K
-            == jax.lax.broadcasted_iota(jnp.int32, (EB, PB), 1)
-        ).astype(jnp.float32)  # [EB, PB]
-        y2 = jax.lax.dot_general(
-            _pad_rows(y1, 8), seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # [8, PB]
+        # 3) y2[j, p] = sum_k y1[j, k*PB + p]  (contiguous lane slices)
+        y2 = y1[:, 0:PB]
+        for k in range(1, K):
+            y2 = y2 + y1[:, k * PB : (k + 1) * PB]  # [3, PB]
 
         # 4) y2b[i, p] = sum_j Vinv[p, i, j] * y2[j, p]
         V9 = VinvT_ref[:][:9].reshape(3, 3, PB)
-        y2b = jnp.sum(V9 * y2[:3][None, :, :], axis=1)  # [3, PB]
+        y2b = jnp.sum(V9 * y2[None, :, :], axis=1)  # [3, PB]
 
-        # 5) back to observations: y2e[j, e] = y2b[j, p(e)]
-        y2e = jax.lax.dot_general(
-            _pad_rows(y2b, 8), seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # [8, EB]
+        # 5) back to observations: lane-tile across the K slots
+        y2e = jnp.concatenate([y2b] * K, axis=1)  # [3, EB]
 
         # 6) y3[i, e] = sum_j W[e, i, j] * y2e[j, e]
-        y3 = jnp.sum(W3 * y2e[:3][None, :, :], axis=1)  # [6, EB]
+        y3 = jnp.sum(W3 * y2e[None, :, :], axis=1)  # [6, EB]
 
         # 7) camera reduce of y3
         z = oh_lo[:, None, :] * _pad_rows(y3, F8)[None, :, :]  # [G, F8, EB]
@@ -446,25 +469,22 @@ def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
     F8 = 8
     Cp = -(-C // 128) * 128
     H = Cp // G
-    # EB: multiple of K*128 so PB = EB/K keeps 128-lane tiling; ~2k rows/step
-    # bounds the in-VMEM one-hot scratch
-    EB = K * 128
-    while EB < 2048:
-        EB *= 2
-    if EB > 4096:
-        raise ValueError(f"K={K} too large for the fused matvec kernel")
-    Ep = -(-E // EB) * EB
-    Pp = Ep // K
+    EB = _matvec_eb(K)
+    PB = EB // K
+    Pp = -(-P // PB) * PB
+    Ep = Pp * K
 
     if WT is None:
-        WT = _pad_axis(_pad_axis(W.reshape(E, 18), 8, 1).T, EB, 1)[:24]  # [24, Ep]
+        WT = _pad_axis(_pad_axis(W.reshape(E, 18), 8, 1).T, E, 1)[:24]  # [24, E]
         WT = _pad_rows(WT, 24) if WT.shape[0] < 24 else WT
     else:
-        # re-pad to this kernel's block multiple (padded tail rows are zero)
-        WT = _pad_axis(WT[:, : max(E, Ep)], Ep, 1)[:, :Ep]
+        WT = WT[:, :E]
+    # one-time repack into block-local k-major layout (amortized over all CG
+    # steps of one LM iteration)
+    WT = _kmajor_cols(WT, K, EB)
     VinvT = _pad_axis(_pad_axis(Vinv.reshape(P, 9), 16, 1).T, Pp, 1)[:16]
     ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
-    ci = _pad_axis(ci[None, :], EB, 1, value=Cp)  # [1, Ep]
+    ci = _kmajor_cols(ci, K, EB, pad_value=Cp)[None, :]  # [1, Ep]
 
     grid = (Ep // EB,)
     kernel = _schur_matvec_kernel(Cp, K, exact)
@@ -490,6 +510,181 @@ def make_schur_matvec(W, Vinv, cam_idx, C: int, exact: bool = False,
         return out.reshape(H, G, F8).reshape(Cp, F8)[:C, :6]
 
     return off
+
+
+def _schur_rhs_kernel(Cp: int, K: int, exact: bool):
+    """Camera sums of W·q (q per landmark): steps 5-7 of the matvec —
+    used for the reduced-system right-hand side b = g_c - rhs(Vinv g_p)."""
+    G = G_FACTOR
+    H = Cp // G
+
+    def kernel(qT_ref, WT_ref, ci_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+        prec = jax.lax.Precision.HIGHEST if exact else None
+        ci = ci_ref[:]
+        EB = ci.shape[1]
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+        W3 = WT_ref[:][:18].reshape(6, 3, EB)
+        qe = jnp.concatenate([qT_ref[:]] * K, axis=1)[:3]  # [3, EB]
+        y3 = jnp.sum(W3 * qe[None, :, :], axis=1)  # [6, EB]
+        z = oh_lo[:, None, :] * _pad_rows(y3, 8)[None, :, :]
+        out_ref[:] += jax.lax.dot_general(
+            oh_hi, z.reshape(G * 8, EB), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    return kernel
+
+
+def _schur_wtv_kernel(Cp: int, K: int, exact: bool):
+    """Per-landmark sums of W^T v (v per camera): steps 1-3 of the matvec —
+    used for the landmark back-substitution."""
+    G = G_FACTOR
+    H = Cp // G
+
+    def kernel(vg_ref, WT_ref, ci_ref, out_ref):
+        prec = jax.lax.Precision.HIGHEST if exact else None
+        ci = ci_ref[:]
+        EB = ci.shape[1]
+        PB = EB // K
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, EB), 0) == ci % G
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
+        ).astype(jnp.float32)
+        Z = jax.lax.dot_general(
+            vg_ref[:], oh_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        vkT = jnp.sum(Z.reshape(G, 8, EB) * oh_lo[:, None, :], axis=0)
+        W3 = WT_ref[:][:18].reshape(6, 3, EB)
+        y1 = jnp.sum(W3 * vkT[:6][:, None, :], axis=0)  # [3, EB]
+        y2 = y1[:, 0:PB]
+        for k in range(1, K):
+            y2 = y2 + y1[:, k * PB : (k + 1) * PB]
+        out_ref[:] = _pad_rows(y2, 8)
+
+    return kernel
+
+
+def make_schur_ops(Vinv, cam_idx, C: int, WT, exact: bool = False,
+                   interpret: bool = False):
+    """The three Schur-stage operators over one shared k-major W packing:
+
+      off(v [C,6]) -> [C,6]   full off-diagonal matvec (the CG hot loop)
+      rhs(q [P,3]) -> [C,6]   camera sums of W q   (right-hand-side assembly)
+      wtv(v [C,6]) -> [P,3]   landmark sums of W^T v  (back-substitution)
+
+    ``WT`` is the [24, >=E] obs-major packing from ``fused_normal_blocks``
+    (or pack W [P,K,6,3] via its ``.reshape(E,18).T``).  The k-major repack
+    happens ONCE here and is shared by every call — the Pallas PCG path
+    never materializes W [P,K,6,3].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = G_FACTOR
+    P, K = cam_idx.shape
+    E = P * K
+    Cp = -(-C // 128) * 128
+    H = Cp // G
+    EB = _matvec_eb(K)
+    PB = EB // K
+    Pp = -(-P // PB) * PB
+    Ep = Pp * K
+    grid = (Ep // EB,)
+
+    WTk = _kmajor_cols(WT[:, :E], K, EB)
+    VinvT = _pad_axis(_pad_axis(Vinv.reshape(P, 9), 16, 1).T, Pp, 1)[:16]
+    ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
+    ci = _kmajor_cols(ci, K, EB, pad_value=Cp)[None, :]
+
+    def pack_v(v):
+        vp = _pad_axis(_pad_axis(v, 8, 1), Cp, 0)
+        return jnp.transpose(vp.reshape(H, G, 8), (1, 2, 0)).reshape(G * 8, H)
+
+    mv_kernel = _schur_matvec_kernel(Cp, K, exact)
+    rhs_kernel = _schur_rhs_kernel(Cp, K, exact)
+    wtv_kernel = _schur_wtv_kernel(Cp, K, exact)
+
+    cam_out_spec = pl.BlockSpec((H, G * 8), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    WT_spec = pl.BlockSpec((24, EB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    ci_spec = pl.BlockSpec((1, EB), lambda j: (0, j), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((G * 8, H), lambda j: (0, 0), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def off(v):
+        out = pl.pallas_call(
+            mv_kernel, grid=grid,
+            in_specs=[v_spec, WT_spec,
+                      pl.BlockSpec((16, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+                      ci_spec],
+            out_specs=cam_out_spec,
+            out_shape=jax.ShapeDtypeStruct((H, G * 8), jnp.float32),
+            interpret=interpret,
+        )(pack_v(v), WTk, VinvT, ci)
+        return out.reshape(H, G, 8).reshape(Cp, 8)[:C, :6]
+
+    @jax.jit
+    def rhs(q):
+        qT = _pad_axis(_pad_axis(q, 8, 1).T, Pp, 1)  # [8, Pp]
+        out = pl.pallas_call(
+            rhs_kernel, grid=grid,
+            in_specs=[pl.BlockSpec((8, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+                      WT_spec, ci_spec],
+            out_specs=cam_out_spec,
+            out_shape=jax.ShapeDtypeStruct((H, G * 8), jnp.float32),
+            interpret=interpret,
+        )(qT, WTk, ci)
+        return out.reshape(H, G, 8).reshape(Cp, 8)[:C, :6]
+
+    @jax.jit
+    def wtv(v):
+        out = pl.pallas_call(
+            wtv_kernel, grid=grid,
+            in_specs=[v_spec, WT_spec, ci_spec],
+            out_specs=pl.BlockSpec((8, PB), lambda j: (0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, Pp), jnp.float32),
+            interpret=interpret,
+        )(pack_v(v), WTk, ci)
+        return out[:3, :P].T
+
+    return off, rhs, wtv
+
+
+def schur_rhs_reference(W, cam_idx, C: int):
+    """jnp golden: rhs(q)[c] = sum_{e: ci=c} W_e q_{p(e)}."""
+
+    def rhs(q):
+        ci = jnp.clip(cam_idx, 0, C - 1)
+        y3 = jnp.einsum("pkij,pj->pki", W, q)
+        onehot = jax.nn.one_hot(ci, C, dtype=jnp.float32)
+        return jnp.einsum("pkc,pki->ci", onehot, y3)
+
+    return rhs
+
+
+def schur_wtv_reference(W, cam_idx, C: int):
+    """jnp golden: wtv(v)[p] = sum_k W_{pk}^T v[ci_{pk}]."""
+
+    def wtv(v):
+        ci = jnp.clip(cam_idx, 0, C - 1)
+        return jnp.einsum("pkij,pki->pj", W, v[ci])
+
+    return wtv
 
 
 # ---------------------------------------------------------------------------

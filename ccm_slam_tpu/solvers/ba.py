@@ -340,15 +340,22 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     active = ~prob.cam_fixed & (jnp.diagonal(U_d, axis1=-2, axis2=-1).sum(-1) > 1e-6)
 
     if fused_matvec:
-        # one Pallas kernel per CG step: payload-only HBM traffic
+        # one Pallas kernel per CG step: payload-only HBM traffic; the same
+        # shared k-major W packing also serves the rhs and back-substitution
+        # stages, so W [P,K,6,3] is never materialized on this path
         from ..ops import pallas_kernels as pk
 
-        off_mv = pk.make_schur_matvec(W, Vinv, prob.cam_idx, C, WT=WT)
+        off_mv, rhs_op, wtv_op = pk.make_schur_ops(Vinv, prob.cam_idx, C, WT=WT)
 
         def S_mv(v):
             v = jnp.where(active[:, None], v, 0.0)
             out = jnp.einsum("cij,cj->ci", U_d, v) - off_mv(v)
             return jnp.where(active[:, None], out, v)
+
+        b = g_c - rhs_op(jnp.einsum("pij,pj->pi", Vinv, g_p))
+
+        def wt_delta(delta_c):
+            return wtv_op(delta_c)
     else:
         def S_mv(v):  # v [C,6]
             v = jnp.where(active[:, None], v, 0.0)
@@ -360,9 +367,14 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
             out = jnp.einsum("cij,cj->ci", U_d, v) - off
             return jnp.where(active[:, None], out, v)
 
-    b = g_c - cam_reduce(
-        jnp.einsum("pkij,pj->pki", W, jnp.einsum("pij,pj->pi", Vinv, g_p)).reshape(E, 6)
-    )
+        b = g_c - cam_reduce(
+            jnp.einsum("pkij,pj->pki", W, jnp.einsum("pij,pj->pi", Vinv, g_p)).reshape(E, 6)
+        )
+
+        def wt_delta(delta_c):
+            return jnp.einsum(
+                "pkij,pki->pj", W, cam_bcast(delta_c).reshape(*ci.shape, 6)
+            )
     b = jnp.where(active[:, None], b, 0.0)
 
     Uinv = inv6x6_spd(U_d + 1e-6 * jnp.eye(6))
@@ -404,8 +416,7 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     )
     delta_c = jnp.where(prob.cam_fixed[:, None], 0.0, delta_c)
 
-    Wt_dc = jnp.einsum("pkij,pki->pj", W, cam_bcast(delta_c).reshape(*ci.shape, 6))
-    delta_p = jnp.einsum("pij,pj->pi", Vinv, g_p - Wt_dc)
+    delta_p = jnp.einsum("pij,pj->pi", Vinv, g_p - wt_delta(delta_c))
     delta_p = jnp.where(prob.point_valid[:, None], delta_p, 0.0)
     return delta_c, delta_p
 
@@ -426,17 +437,22 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
     C = prob.R.shape[0]
     P, K = prob.cam_idx.shape
     use_pcg = C > 192
-    use_pallas = False
+    # the fused assembly/cost kernels pay off for ANY solver once the
+    # problem has real volume (the dense path otherwise materializes a
+    # [P,K,C] one-hot for the U reduction)
+    use_pallas = (
+        _resolve_pcg_backend(pcg_backend) == "pallas" and P * K >= 8192
+    )
     if use_pcg:
         # transition operators, once per solve (cam_idx is constant across
         # LM iterations); Pallas in-VMEM one-hot on TPU, factored XLA one-hot
         # elsewhere
-        use_pallas = _resolve_pcg_backend(pcg_backend) == "pallas"
-        if use_pallas:
-            trans = _pcg_transitions_pallas(prob.cam_idx, C)
-        else:
+        if not use_pallas:
             trans = _pcg_transitions(prob.cam_idx, C)
-        cam_bcast, cam_reduce = trans
+            cam_bcast, cam_reduce = trans
+        else:
+            trans = None
+            cam_bcast = cam_reduce = None
     else:
         trans = None
         cam_bcast = cam_reduce = None
@@ -445,14 +461,18 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         from ..ops import pallas_kernels as pk
 
         def build_blocks(R, t, X):
-            # one-pass fused assembly (residuals -> Jacobians -> blocks)
+            # one-pass fused assembly (residuals -> Jacobians -> blocks);
+            # W stays in its packed obs-major transpose — the PCG consumers
+            # (matvec/rhs/backsub) read the shared k-major repack, the dense
+            # path unpacks it once per iteration
             U, V, WT, g_c, g_p, _ = pk.fused_normal_blocks(
                 R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
                 prob.obs_valid, prob.cam_fixed, C,
                 prob.fx, prob.fy, prob.cx, prob.cy, huber_delta,
             )
             ci = jnp.clip(prob.cam_idx, 0, C - 1)
-            return U, V, pk.unpack_WT(WT, P, K), g_c, g_p, ci, WT
+            W = None if use_pcg else pk.unpack_WT(WT, P, K)
+            return U, V, W, g_c, g_p, ci, WT
 
         def cost_fn(R, t, X):
             return pk.fused_reproj_cost(
@@ -501,11 +521,20 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0, dc0), None,
         length=iters,
     )
+    # final statistics: one pass; on the Pallas path the camera broadcast
+    # operator avoids the slow per-observation pose gather at scale
+    fin_bcast = (
+        _pcg_transitions_pallas(prob.cam_idx, C)[0] if use_pallas else cam_bcast
+    )
     _, _, _, chi2, valid, _ = _residuals_and_weights(
-        prob, R, t, X, huber_delta, cam_bcast=cam_bcast
+        prob, R, t, X, huber_delta, cam_bcast=fin_bcast
     )
     n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)
-    return R, t, X, _cost(prob, R, t, X, huber_delta, cam_bcast=cam_bcast), n_good
+    final_cost = (
+        cost_fn(R, t, X) if use_pallas
+        else _cost(prob, R, t, X, huber_delta, cam_bcast=cam_bcast)
+    )
+    return R, t, X, final_cost, n_good
 
 
 def classify_outliers(prob: BAProblem, R, t, X, chi2_thres: float = reproj.CHI2_MONO):

@@ -65,12 +65,27 @@ def main():
 
     def blocks_step(carry, _):
         R, t, X = carry
-        U, V, W, g_c, g_p, ci = ba._build_normal_blocks(prob, R, t, X, huber, trans=trans)
+        if args.backend == "pallas":
+            from ccm_slam_tpu.ops import pallas_kernels as pk
+
+            U, V, WT, g_c, g_p, _ = pk.fused_normal_blocks(
+                R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
+                prob.obs_valid, prob.cam_fixed, C,
+                prob.fx, prob.fy, prob.cx, prob.cy, huber)
+        else:
+            U, V, W, g_c, g_p, ci = ba._build_normal_blocks(prob, R, t, X, huber, trans=trans)
         return (R + U[0, 0, 0] * 1e-20, t, X + g_p * 1e-20), None
 
     def cost_step(carry, _):
         R, t, X = carry
-        c = ba._cost(prob, R, t, X, huber, cam_bcast=cam_bcast)
+        if args.backend == "pallas":
+            from ccm_slam_tpu.ops import pallas_kernels as pk
+
+            c = pk.fused_reproj_cost(
+                R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
+                prob.obs_valid, C, prob.fx, prob.fy, prob.cx, prob.cy, huber)
+        else:
+            c = ba._cost(prob, R, t, X, huber, cam_bcast=cam_bcast)
         return (R, t, X + c * 1e-20, ), None
 
     res = {}

@@ -190,3 +190,34 @@ class TestFusedNormalBlocks:
             prob.fx, prob.fy, prob.cx, prob.cy, self.DELTA, interpret=True,
         ))
         assert abs(costk - cost) < 1e-4 * abs(cost) + 1e-2
+
+
+class TestSchurOps:
+    @pytest.mark.parametrize("P,K,C", [(300, 8, 70), (257, 4, 33)])
+    def test_ops_match_references(self, P, K, C):
+        rng = np.random.RandomState(P)
+        W = jnp.asarray(rng.randn(P, K, 6, 3).astype(np.float32))
+        Vinv = jnp.asarray(rng.randn(P, 3, 3).astype(np.float32))
+        ci = jnp.asarray(rng.randint(0, C, (P, K)).astype(np.int32))
+        WT = jnp.asarray(
+            np.pad(np.asarray(W).reshape(P * K, 18).T, ((0, 6), (0, 0)))
+        )
+        off, rhs, wtv = pk.make_schur_ops(Vinv, ci, C, WT=WT, exact=True,
+                                          interpret=True)
+        v = jnp.asarray(rng.randn(C, 6).astype(np.float32))
+        q = jnp.asarray(rng.randn(P, 3).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(off(v)),
+            np.asarray(pk.schur_matvec_reference(W, Vinv, ci, C)(v)),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rhs(q)),
+            np.asarray(pk.schur_rhs_reference(W, ci, C)(q)),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(wtv(v)),
+            np.asarray(pk.schur_wtv_reference(W, ci, C)(v)),
+            rtol=1e-4, atol=1e-3,
+        )
