@@ -58,6 +58,35 @@ def erase(db: KeyFrameDB, kf_mask) -> KeyFrameDB:
     return db.replace(valid=db.valid & ~kf_mask)
 
 
+def grow(db: KeyFrameDB, new_capacity: int) -> KeyFrameDB:
+    """Append-only enlargement (rows keep their arena indices)."""
+    if new_capacity <= db.capacity:
+        return db
+    pad = new_capacity - db.capacity
+    return KeyFrameDB(
+        vectors=jnp.pad(db.vectors, ((0, pad), (0, 0))),
+        valid=jnp.pad(db.valid, (0, pad)),
+        map_id=jnp.pad(db.map_id, (0, pad), constant_values=-1),
+    )
+
+
+def regrid(db: KeyFrameDB, old_stride: int, new_stride: int, n_slots: int) -> KeyFrameDB:
+    """Re-place rows packed as ``slot*stride + idx`` onto a larger stride
+    (the shared cross-map database's addressing when a map arena grows)."""
+    if new_stride == old_stride:
+        return db
+    out = empty_db(n_slots * new_stride, db.vectors.shape[1])
+    old_rows = jnp.arange(db.capacity)
+    slot = old_rows // old_stride
+    idx = old_rows % old_stride
+    new_rows = slot * new_stride + idx
+    return KeyFrameDB(
+        vectors=out.vectors.at[new_rows].set(db.vectors),
+        valid=out.valid.at[new_rows].set(db.valid),
+        map_id=out.map_id.at[new_rows].set(db.map_id),
+    )
+
+
 def _accumulate_covis_groups(scores, cand, covis_W, top_k: int = 10):
     """For each candidate, the accumulated score of its covisibility group
     (itself + top-10 covisible KFs that are also candidates) and the best

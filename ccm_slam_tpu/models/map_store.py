@@ -164,6 +164,36 @@ def empty_map(capacity_kfs: int, capacity_mps: int, n_feat: int, max_obs: int) -
 # ---------------------------------------------------------------------------
 
 
+def grow_map(m: MapState, new_kf_cap: int = None, new_mp_cap: int = None) -> MapState:
+    """Enlarge the arenas, preserving content AND arena indices.
+
+    The reference's server map grows without bound (std::map, Map.h); fixed
+    TPU arenas instead re-allocate between jit invocations.  Growth is
+    APPEND-ONLY — existing rows keep their indices, so every table holding
+    arena indices (agent id tables, place-recognition dbs, finder/matcher
+    state) stays valid with no remap (the never-compact invariant).  New rows
+    get ``empty_map`` defaults.  Shapes change, so downstream jits recompile
+    — grow geometrically (double) to amortize.
+    """
+    K0, M0 = m.kfs.capacity, m.mps.capacity
+    K1 = max(int(new_kf_cap or K0), K0)
+    M1 = max(int(new_mp_cap or M0), M0)
+    if K1 == K0 and M1 == M0:
+        return m
+    tmpl = empty_map(K1, M1, m.kfs.n_feat, m.mps.max_obs)
+
+    def splice(old, new):
+        return new.at[tuple(slice(0, s) for s in old.shape)].set(old)
+
+    return MapState(
+        kfs=jax.tree.map(splice, m.kfs, tmpl.kfs),
+        mps=jax.tree.map(splice, m.mps, tmpl.mps),
+        next_kf=m.next_kf,
+        next_mp=m.next_mp,
+        insert_counter=m.insert_counter,
+    )
+
+
 def add_keyframe(
     m: MapState,
     kf_id,

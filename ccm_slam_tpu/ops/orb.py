@@ -109,6 +109,99 @@ def ic_angle(img, kp_xy):
     return jnp.arctan2(m01, m10)
 
 
+# ---------------------------------------------------------------------------
+# Patch-based descriptor stage (the TPU fast path).
+#
+# The direct samplers (ic_angle, brief.descriptor_bits) index the full image
+# with [K, n_samples] coordinates — hundreds of thousands of 1-element
+# gathers per frame, the slowest access pattern on TPU (measured ~3 ms/level
+# at 752x480).  Here each keypoint's 54x54 neighborhood is fetched ONCE as a
+# contiguous block (vmapped dynamic_slice = one blocked gather), the 7-tap
+# pre-BRIEF blur runs per-patch as two band-matrix matmuls, and every
+# subsequent sample is a two-stage one-hot contraction on the MXU — no
+# element gathers anywhere.  Semantics match the direct samplers exactly
+# (incl. image-border clipping; the window always contains the clipped
+# sample range because |offset| <= 21 < _PHALF - _BLUR_RADIUS + window slack).
+# ---------------------------------------------------------------------------
+
+_BLUR_RADIUS = 3
+_PWIN = 48                          # blurred sample window
+_PATCH = _PWIN + 2 * _BLUR_RADIUS   # raw patch fetched per keypoint
+
+
+def _gather_patches(img_padded, cx, cy, H: int, W: int):
+    """54x54 raw windows (edge-padded image) per keypoint.
+
+    Returns (patches [K,54,54], sx [K], sy [K]); ``s*`` are the window bases:
+    a clipped absolute coordinate ``a`` lives at blurred index ``a - s`` and
+    raw index ``a - s + _BLUR_RADIUS``."""
+    off = _PWIN // 2 - _BLUR_RADIUS
+    sy = jnp.clip(cy - off, 0, H - _PWIN)
+    sx = jnp.clip(cx - off, 0, W - _PWIN)
+    patches = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(img_padded, (y, x), (_PATCH, _PATCH))
+    )(sy, sx)
+    return patches, sx, sy
+
+
+def _blur_band_matrix():
+    x = np.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1)
+    k = np.exp(-0.5 * (x / 2.0) ** 2)
+    k = k / k.sum()
+    B = np.zeros((_PATCH, _PWIN), np.float32)
+    for j in range(_PWIN):
+        B[j : j + 2 * _BLUR_RADIUS + 1, j] = k
+    return jnp.asarray(B)
+
+
+_BLUR_B = _blur_band_matrix()
+
+
+def _blur_patches(patches):
+    """Per-patch separable 7-tap blur == gaussian_blur(img)[window]."""
+    return jnp.einsum("aj,kab,bi->kji", _BLUR_B, patches, _BLUR_B)
+
+
+def _onehot_sample(patch, rel_y, rel_x):
+    """patch [K,S,S], integer rel coords [K,N] -> values [K,N].
+
+    Two-stage one-hot contraction (row select on the MXU, column select on
+    the VPU) — the TPU-native replacement for a [K,N] element gather."""
+    S = patch.shape[-1]
+    ohy = (rel_y[..., None] == jnp.arange(S)).astype(patch.dtype)  # [K,N,S]
+    ohx = (rel_x[..., None] == jnp.arange(S)).astype(patch.dtype)
+    rows = jnp.einsum("kns,ksx->knx", ohy, patch)
+    return jnp.sum(rows * ohx, axis=-1)
+
+
+def _ic_angle_patches(patches, cx, cy, sx, sy, H: int, W: int):
+    dy = jnp.asarray(_IC_DY, jnp.int32)[None, :]
+    dx = jnp.asarray(_IC_DX, jnp.int32)[None, :]
+    ay = jnp.clip(cy[:, None] + dy, 0, H - 1)
+    ax = jnp.clip(cx[:, None] + dx, 0, W - 1)
+    vals = _onehot_sample(
+        patches, ay - sy[:, None] + _BLUR_RADIUS, ax - sx[:, None] + _BLUR_RADIUS
+    )
+    m10 = jnp.sum(vals * dx.astype(jnp.float32), axis=1)
+    m01 = jnp.sum(vals * dy.astype(jnp.float32), axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_patches(blurred, kp_xy, angle, sx, sy, H: int, W: int):
+    from .hamming import pack_bits
+
+    p1, p2 = brief.steered_coords(angle)  # [K,256,2]
+    base = kp_xy[:, None, :]
+
+    def sample(p):
+        ax = jnp.clip(jnp.round(base[..., 0] + p[..., 0]).astype(jnp.int32), 0, W - 1)
+        ay = jnp.clip(jnp.round(base[..., 1] + p[..., 1]).astype(jnp.int32), 0, H - 1)
+        return _onehot_sample(blurred, ay - sy[:, None], ax - sx[:, None])
+
+    bits = (sample(p1) < sample(p2)).astype(jnp.uint8)
+    return pack_bits(bits)
+
+
 def _grid_top1(score, gh: int, gw: int):
     """Keep only the best-scoring pixel of each cell of a gh x gw grid."""
     H, W = score.shape
@@ -133,22 +226,42 @@ def _extract_level(img_lvl, budget: int, ini_th, min_th, cell: int):
     H, W = img_lvl.shape
     valid, score = fast.detect(img_lvl, ini_th, min_th, cell)
 
-    # grid-bucketed top-1: ~1.5x budget cells, aspect-proportional
+    # grid-bucketed top-1: ~1.5x budget cells, aspect-proportional; top-k
+    # runs in CELL space (gh*gw values) instead of over the full image —
+    # the per-cell argmax already knows each winner's position
     n_cells = max(int(budget * 1.5), 4)
     gw = max(int(np.sqrt(n_cells * W / max(H, 1))), 1)
     gh = max(n_cells // max(gw, 1), 1)
-    score = _grid_top1(score, gh, gw)
-
-    flat = score.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, budget)
-    ys = (top_idx // W).astype(jnp.float32)
-    xs = (top_idx % W).astype(jnp.float32)
+    ch = -(-H // gh)
+    cw = -(-W // gw)
+    s = jnp.pad(score, ((0, ch * gh - H), (0, cw * gw - W)), constant_values=0.0)
+    cells = s.reshape(gh, ch, gw, cw).transpose(0, 2, 1, 3).reshape(gh * gw, ch * cw)
+    best = jnp.max(cells, axis=-1)                 # [gh*gw]
+    best_off = jnp.argmax(cells, axis=-1)
+    top_scores, top_cell = jax.lax.top_k(best, budget)
+    off = best_off[top_cell]
+    ys = ((top_cell // gw) * ch + off // cw).astype(jnp.float32)
+    xs = ((top_cell % gw) * cw + off % cw).astype(jnp.float32)
     kp_valid = top_scores > 0.0
     xy = jnp.stack([xs, ys], axis=-1)
 
-    angle = ic_angle(img_lvl, xy)
-    img_blur = gaussian_blur(img_lvl)
-    desc = brief.descriptor_bits(img_blur, xy, angle)
+    if H < _PWIN or W < _PWIN:
+        # image smaller than the patch window: direct samplers
+        angle = ic_angle(img_lvl, xy)
+        desc = brief.descriptor_bits(gaussian_blur(img_lvl), xy, angle)
+        return xy, top_scores, angle, desc, kp_valid
+
+    # descriptor stage on per-keypoint patches (see fast-path block above)
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)
+    img_padded = jnp.pad(
+        img_lvl, ((_BLUR_RADIUS, _BLUR_RADIUS), (_BLUR_RADIUS, _BLUR_RADIUS)),
+        mode="edge",
+    )
+    patches, sx, sy = _gather_patches(img_padded, cx, cy, H, W)
+    angle = _ic_angle_patches(patches, cx, cy, sx, sy, H, W)
+    blurred = _blur_patches(patches)
+    desc = _brief_patches(blurred, xy, angle, sx, sy, H, W)
     return xy, top_scores, angle, desc, kp_valid
 
 

@@ -90,6 +90,14 @@ class MapMatcher:
         mask = jnp.zeros((self.db.capacity,), bool).at[lo : lo + self.kf_capacity].set(True)
         self.db = kdb.erase(self.db, mask)
 
+    def grow(self, new_kf_capacity: int):
+        """Widen the per-slot stride when a map arena grows: rows re-placed
+        from slot*old + k to slot*new + k (arena indices unchanged)."""
+        if new_kf_capacity <= self.kf_capacity:
+            return
+        self.db = kdb.regrid(self.db, self.kf_capacity, new_kf_capacity, self.n_slots)
+        self.kf_capacity = new_kf_capacity
+
     def detect(self, map_slot: int, m: ms.MapState, kf_idx: int):
         """Cross-map candidates for one keyframe: [(map_slot_b, kf_b), ...]."""
         if int(m.kfs.kf_id[kf_idx]) < self.cfg.placerec.start_map_matching_after_kf:

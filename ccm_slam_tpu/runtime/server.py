@@ -53,7 +53,7 @@ class AgentState:
     mp_table: dict = field(default_factory=dict)   # client mp_id -> arena idx
     pending_kfs: list = field(default_factory=list)  # pred-missing keyframes
     pending_mps: list = field(default_factory=list)  # ref-missing landmarks
-    last_data_step: int = 0
+    last_data_step: int = -1  # -1: never sent data
     finished: bool = False
     next_server_kf: int = 0  # ingestion counter for mapping-side bookkeeping
 
@@ -82,15 +82,19 @@ class Server:
 
     def __post_init__(self):
         cap = self.cfg.capacity
+        # arenas start small and grow geometrically (ensure_capacity):
+        # solver/compile shapes track the actual map size instead of the
+        # configured high-water mark
+        kf0 = min(cap.server_max_kfs, 64)
+        mp0 = min(cap.server_max_mps, 8192)
         if self.matcher is None:
             self.matcher = MapMatcher(
                 cfg=self.cfg, cam=self.cam, vocab=self.vocab,
-                n_slots=self.n_agents, kf_capacity=cap.server_max_kfs,
+                n_slots=self.n_agents, kf_capacity=kf0,
             )
         for a in range(self.n_agents):
             self.maps[a] = ms.empty_map(
-                cap.server_max_kfs, cap.server_max_mps, cap.max_keypoints,
-                cap.max_obs_per_mp,
+                kf0, mp0, cap.max_keypoints, cap.max_obs_per_mp,
             )
             self.agents[a] = AgentState(
                 client_id=a, map_slot=a, S_map_client=Sim3.identity()
@@ -103,18 +107,38 @@ class Server:
             # using its own db sized to the map arena
             from ..models import keyframe_db as kdb
 
-            self.finders[a].db = kdb.empty_db(cap.server_max_kfs, self.vocab.n_words)
+            self.finders[a].db = kdb.empty_db(kf0, self.vocab.n_words)
             self.gba_dirty[a] = False
             self.gba_progress[a] = 0
             self.final_gba_done[a] = False
 
     # ------------------------------------------------------------------ ingest
 
+    def ensure_capacity(self, slot: int):
+        """Geometric arena growth near the high-water mark — the reference's
+        unbounded server map (std::map) recast as re-allocation between jit
+        invocations.  Arena indices are preserved (append-only growth), so
+        agent id tables and the place-recognition databases stay valid; the
+        shared cross-map database re-grids its per-slot stride."""
+        m = self.maps[slot]
+        K, M = m.kfs.capacity, m.mps.capacity
+        K1 = K * 2 if int(m.next_kf) >= (K * 17) // 20 else K
+        M1 = M * 2 if int(m.next_mp) >= (M * 17) // 20 else M
+        if K1 == K and M1 == M:
+            return
+        self.maps[slot] = ms.grow_map(m, K1, M1)
+        if K1 != K:
+            from ..models import keyframe_db as kdb
+
+            self.finders[slot].db = kdb.grow(self.finders[slot].db, K1)
+            self.matcher.grow(K1)
+
     def ingest(self, agent_id: int, msg: MapMsg) -> MapMsg:
         """Process one client message; returns the ack message
         (ProcessKfInServer/ProcessMpInServer, Communicator.cpp:815-1139)."""
         ag = self.agents[agent_id]
         slot = ag.map_slot
+        self.ensure_capacity(slot)
         m = self.maps[slot]
         acked_kfs, acked_mps = [], []
         weak_kf = -1
@@ -371,8 +395,14 @@ class Server:
             agents_here = [a for a in self.agents.values() if a.map_slot == slot]
             if not agents_here:
                 continue
+            if int(self.maps[slot].next_kf) < 3:
+                continue  # nothing to optimize (empty/embryonic map)
+            # FINALBA requires agents that SENT data and then went idle
+            # (Communicator.cpp:456-480: the 30 s timer starts at the first
+            # empty message AFTER data) — never-connected agents don't count
             quiet = all(
-                self.step_counter - a.last_data_step >= self.quiescence_steps
+                a.last_data_step >= 0
+                and self.step_counter - a.last_data_step >= self.quiescence_steps
                 for a in agents_here
             )
             if quiet and not self.final_gba_done[slot]:

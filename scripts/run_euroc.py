@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--limit", type=int, default=None, help="max frames per agent")
     ap.add_argument("--vocab", default=None, help="pretrained vocabulary npz")
     ap.add_argument("--native-loader", action="store_true")
+    ap.add_argument("--batch-frontend", action="store_true",
+                    help="extract all live agents' frames in ONE vmapped "
+                         "dispatch (per-chip multi-agent scaling; "
+                         "benchmarks/client_throughput.py)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -99,7 +103,39 @@ def main():
     frame_count = [0] * n_agents
     pub_every = max(1, int(cfg.camera.fps / cfg.comm.client_pub_freq))
 
+    from ccm_slam_tpu.ops import orb as orb_ops
+    from ccm_slam_tpu.runtime.frame import build_frame
+    from ccm_slam_tpu.runtime.tracker import NOT_INITIALIZED
+
+    def batched_step(pending):
+        """One vmapped ORB dispatch per feature-budget group (agents still
+        initializing use init_features_factor x the tracking budget)."""
+        ex = cfg.extractor
+        groups = {}
+        for i, fr in pending:
+            tr = trackers[i]
+            nf = ex.n_features * (
+                ex.init_features_factor if tr.state == NOT_INITIALIZED else 1
+            )
+            nf = min(nf, cfg.capacity.max_keypoints)
+            groups.setdefault(nf, []).append((i, fr))
+        for nf, items in groups.items():
+            imgs = jnp.stack([jnp.asarray(fr.image) for _, fr in items])
+            feats = jax.vmap(
+                lambda im: orb_ops.extract(
+                    im, n_features=nf, n_levels=ex.n_levels,
+                    scale_factor=ex.scale_factor, ini_th=float(ex.ini_th_fast),
+                    min_th=float(ex.min_th_fast), cell=ex.cell_size,
+                    capacity=cfg.capacity.max_keypoints,
+                )
+            )(imgs)
+            for b, (i, fr) in enumerate(items):
+                f1 = jax.tree.map(lambda x: x[b], feats)
+                frame = build_frame(f1, cam, fr.timestamp, ex.scale_factor)
+                trackers[i].process_frame(frame)
+
     while any(live):
+        pending = []
         for i in range(n_agents):
             if not live[i]:
                 continue
@@ -108,8 +144,19 @@ def main():
             except StopIteration:
                 live[i] = False
                 continue
-            trackers[i].process_image(jnp.asarray(fr.image), fr.timestamp)
-            frame_count[i] += 1
+            pending.append((i, fr))
+        same_shape = len({p[1].image.shape for p in pending}) <= 1
+        if args.batch_frontend and len(pending) > 1 and same_shape:
+            batched_step(pending)
+            for i, _ in pending:
+                frame_count[i] += 1
+            processed = {i for i, _ in pending}
+        else:
+            for i, fr in pending:
+                trackers[i].process_image(jnp.asarray(fr.image), fr.timestamp)
+                frame_count[i] += 1
+            processed = {i for i, _ in pending}
+        for i in sorted(processed):
             if server is not None and trackers[i].map is not None:
                 if frame_count[i] % pub_every == 0:
                     msg, comm_states[i] = comm.publish_client(

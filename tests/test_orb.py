@@ -146,3 +146,47 @@ class TestBrief:
         d90 = brief.descriptor_bits(img90, center, jnp.array([jnp.pi / 2]))
         dist = int(hamming.hamming_pairwise(d0[0], d90[0]))
         assert dist < 60, dist  # far below random (~128)
+
+
+class TestBatchedExtract:
+    def test_vmap_matches_single(self):
+        """Multi-agent front-end batching (benchmarks/client_throughput.py):
+        vmapped extraction must equal per-image extraction exactly."""
+        rs = np.random.RandomState(0)
+        imgs = jnp.asarray(rs.rand(2, 120, 160).astype(np.float32) * 255)
+        f = lambda im: orb.extract(im, n_features=100, n_levels=3, capacity=128)
+        b = jax.vmap(f)(imgs)
+        for i in range(2):
+            s = f(imgs[i])
+            assert np.allclose(np.asarray(b.xy[i]), np.asarray(s.xy))
+            assert np.array_equal(np.asarray(b.desc[i]), np.asarray(s.desc))
+            assert np.array_equal(np.asarray(b.valid[i]), np.asarray(s.valid))
+            assert np.array_equal(np.asarray(b.octave[i]), np.asarray(s.octave))
+
+
+class TestPatchDescriptorStage:
+    def test_matches_direct_samplers(self):
+        """The patch-based fast path (one blocked gather + one-hot MXU
+        sampling) must reproduce ic_angle / gaussian_blur+descriptor_bits
+        bit-for-bit, including image-border clipping."""
+        rs = np.random.RandomState(0)
+        img = jnp.asarray(rs.rand(240, 320).astype(np.float32) * 255)
+        pts = np.concatenate([
+            np.stack([rs.uniform(30, 290, 48), rs.uniform(30, 210, 48)], 1),
+            np.array([[2.0, 3.0], [318.0, 1.0], [5.0, 238.0], [319.0, 239.0]]),
+        ]).astype(np.float32)
+        kp = jnp.asarray(pts)
+        cx = jnp.round(kp[:, 0]).astype(jnp.int32)
+        cy = jnp.round(kp[:, 1]).astype(jnp.int32)
+        imgp = jnp.pad(img, orb._BLUR_RADIUS, mode="edge")
+        patches, sx, sy = orb._gather_patches(imgp, cx, cy, 240, 320)
+        a_new = orb._ic_angle_patches(patches, cx, cy, sx, sy, 240, 320)
+        np.testing.assert_allclose(
+            np.asarray(a_new), np.asarray(orb.ic_angle(img, kp)), atol=1e-6
+        )
+        blur_full = orb.gaussian_blur(img)
+        d_new = orb._brief_patches(
+            orb._blur_patches(patches), kp, a_new, sx, sy, 240, 320
+        )
+        d_old = brief.descriptor_bits(blur_full, kp, a_new)
+        np.testing.assert_array_equal(np.asarray(d_new), np.asarray(d_old))
