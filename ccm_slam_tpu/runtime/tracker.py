@@ -6,10 +6,11 @@ Tracking.cpp:126-287) plus the client ``LocalMapping`` loop invoked per new
 keyframe.  Only scalar counters cross the host boundary per frame; all array
 state stays on device.
 
-Tracking-loss policy matches the reference: reset if lost before
-``init_kfs`` keyframes after initialization, else permanently LOST — there is
-no relocalization (Tracking.cpp:187-191,248-259; PnPsolver is dead code in
-the reference)."""
+Tracking-loss policy matches the reference by default: reset if lost before
+``init_kfs`` keyframes after initialization, else permanently LOST
+(Tracking.cpp:187-191,248-259; PnPsolver is dead code in the reference).
+``enable_relocalization`` additionally arms a live PnP recovery path that the
+reference only ships as dead code."""
 
 from __future__ import annotations
 
@@ -62,6 +63,7 @@ class Tracker:
     rng: object = None
     enable_mapping: bool = True
     enable_trimming: bool = False  # standalone eval keeps the full map
+    enable_relocalization: bool = False  # opt-in PnP recovery (see _relocalize)
     stats: dict = field(default_factory=lambda: {"kf_created": 0, "mp_created": 0})
 
     def __post_init__(self):
@@ -92,9 +94,60 @@ class Tracker:
         if self.state == NOT_INITIALIZED:
             return self._initialize(frame)
         if self.state == LOST:
+            if self.enable_relocalization and self.map is not None:
+                out = self._relocalize(frame)
+                if out is not None:
+                    return out
             self.trajectory.append(None)
             return None
         return self._track(frame)
+
+    def _relocalize(self, frame: Frame):
+        """Opt-in relocalization after tracking loss.
+
+        The reference ships the machinery as dead code — PnPsolver
+        (cslam/src/PnPSolver.cpp) and DetectRelocalizationCandidates
+        (cslam/src/Database.cpp:329-439) are compiled but never called; a
+        lost mature map stays permanently LOST (Tracking.cpp:187-191).  Here
+        the capability is live behind ``enable_relocalization``: brute
+        descriptor matching against the map's landmarks, RANSAC-PnP
+        (ops/pnp.ransac_pnp) for the absolute pose, then the standard
+        pose-only optimization gate."""
+        from ..ops import matching, pnp
+
+        m = self.map
+        alive = m.mps.valid & ~m.mps.bad
+        t_idx, _, okm = matching.match_brute(
+            frame.desc, frame.valid, m.mps.desc, alive,
+            th_dist=matching.TH_LOW, nn_ratio=0.75, check_rotation=False,
+        )
+        if int(jnp.sum(okm)) < 15:
+            return None
+        mp = jnp.clip(t_idx, 0, m.mps.capacity - 1)
+        self.rng, key = jax.random.split(self.rng)
+        res = pnp.ransac_pnp(
+            key, m.mps.pos[mp], frame.xy, okm, frame.sigma2,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+        )
+        if not bool(res["success"]) or int(res["n_inliers"]) < 15:
+            return None
+        assoc = jnp.where(okm & res["inliers"], mp, ms.NO_MP)
+        frame2, n_in = tracking._pose_opt_on_assoc(
+            m, frame, assoc, res["R"], res["t"], self.cam, self.cfg
+        )
+        # local-map search from the recovered pose, then the standard gate
+        m2, frame3, n_in2 = tracking.track_local_map(m, frame2, self.cam, self.cfg)
+        if int(n_in2) < self.cfg.tracking.local_map_inlier_thres:
+            return None
+        self.map = m2
+        self.state = OK
+        self.last_frame = frame3
+        self.has_velocity = False
+        self.frames_since_kf = 0
+        self.trajectory.append(
+            TrajectoryEntry(float(frame3.timestamp), frame3.R_cw, frame3.t_cw)
+        )
+        return frame3
 
     # -- initialization -----------------------------------------------------
 
