@@ -200,3 +200,30 @@ def tiny_test_config() -> SystemConfig:
             covis_neighbors=8,
         ),
     )
+
+
+def show_params(cfg: SystemConfig = None, file=None) -> str:
+    """Render the full parameter tree (the reference's ``params::ShowParams``
+    startup dump, cslam/src/config.cpp, called from both node mains).
+
+    Returns the string; also prints to ``file`` when given (e.g. sys.stdout).
+    """
+    cfg = cfg or DEFAULT_CONFIG
+    lines = ["ccm_slam_tpu parameters"]
+    for section_name in (
+        "system", "extractor", "tracking", "mapping", "comm", "placerec",
+        "opt", "capacity", "camera",
+    ):
+        section = getattr(cfg, section_name, None)
+        if section is None:
+            continue
+        lines.append(f"[{section_name}]")
+        for f in dataclasses.fields(section):
+            v = getattr(section, f.name)
+            if isinstance(v, tuple) and v and isinstance(v[0], tuple):
+                v = "<4x4 matrix>"
+            lines.append(f"  {f.name} = {v}")
+    out = "\n".join(lines)
+    if file is not None:
+        print(out, file=file)
+    return out

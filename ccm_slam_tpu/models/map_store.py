@@ -707,3 +707,86 @@ def compact_observations(m: MapState) -> MapState:
     obs_feat = jnp.take_along_axis(mps.obs_feat, order, axis=1)
     obs_n = jnp.sum(alive.astype(jnp.int32), axis=1)
     return m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
+
+
+def check_structure(m: MapState) -> list:
+    """Deep structural validation — the reference's ``Map::CheckStructure``
+    (cslam/src/Map.cpp:1672-1800, compiled under DEBUGGING2) as a host-side
+    diagnostic.  Returns a list of human-readable violations (empty = OK).
+
+    Checks the invariants that have caused real bugs (CLAUDE.md):
+      * forward links (kfs.mp_idx) and the reverse obs tables agree;
+      * obs_n counts match the populated obs slots and never exceed the cap;
+      * alive landmarks have an alive reference keyframe;
+      * keyframe ids are unique per client among alive keyframes;
+      * arena fill counters bound the valid flags.
+    """
+    errs = []
+    kfs, mps = m.kfs, m.mps
+    K, M, N, O = kfs.capacity, mps.capacity, kfs.n_feat, mps.max_obs
+    kf_alive = np.asarray(kfs.valid & ~kfs.bad)
+    mp_alive = np.asarray(mps.valid & ~mps.bad)
+    mp_idx = np.asarray(kfs.mp_idx)
+    obs_kf = np.asarray(mps.obs_kf)
+    obs_feat = np.asarray(mps.obs_feat)
+    obs_n = np.asarray(mps.obs_n)
+    feat_valid = np.asarray(kfs.feat_valid)
+
+    if kf_alive[int(m.next_kf):].any():
+        errs.append("valid keyframe beyond next_kf fill counter")
+    if mp_alive[int(m.next_mp):].any():
+        errs.append("valid landmark beyond next_mp fill counter")
+
+    # id uniqueness per client
+    ids = np.asarray(kfs.kf_id)[kf_alive]
+    cids = np.asarray(kfs.client_id)[kf_alive]
+    pairs = list(zip(cids.tolist(), ids.tolist()))
+    if len(pairs) != len(set(pairs)):
+        errs.append("duplicate (client_id, kf_id) among alive keyframes")
+
+    # reverse table: each populated slot names an alive KF whose forward
+    # link points back at this landmark
+    for p in np.where(mp_alive)[0]:
+        n = int(obs_n[p])
+        if n > O:
+            errs.append(f"mp {p}: obs_n {n} > capacity {O}")
+            continue
+        for s in range(n):
+            k, f = int(obs_kf[p, s]), int(obs_feat[p, s])
+            if k < 0 or k >= K or not kf_alive[k]:
+                errs.append(f"mp {p} obs slot {s}: dead/invalid keyframe {k}")
+            elif f < 0 or f >= N or not feat_valid[k, f]:
+                errs.append(f"mp {p} obs slot {s}: invalid feature {f} of kf {k}")
+            elif mp_idx[k, f] != p:
+                errs.append(
+                    f"mp {p} obs slot {s}: kf {k} feat {f} forward link is "
+                    f"{int(mp_idx[k, f])} (reverse/forward mismatch)"
+                )
+        if (obs_kf[p, n:O] != int(NO_KF)).any():
+            errs.append(f"mp {p}: populated obs slot beyond obs_n={n}")
+
+    # forward links point at alive landmarks; over-cap forward links (not
+    # present in the reverse table) violate the both-sides discipline
+    for k in np.where(kf_alive)[0]:
+        row = mp_idx[k]
+        for f in np.where(row >= 0)[0]:
+            p = int(row[f])
+            if p >= M or not mp_alive[p]:
+                errs.append(f"kf {k} feat {f}: forward link to dead landmark {p}")
+                continue
+            n = int(obs_n[p])
+            hit = ((obs_kf[p, :n] == k) & (obs_feat[p, :n] == f)).any()
+            if not hit:
+                errs.append(
+                    f"kf {k} feat {f} -> mp {p}: forward link missing from "
+                    "the reverse table"
+                )
+
+    # alive landmarks reference an alive keyframe
+    ref = np.asarray(mps.ref_kf)
+    for p in np.where(mp_alive)[0]:
+        r = int(ref[p])
+        if r < 0 or r >= K or not kf_alive[r]:
+            errs.append(f"mp {p}: reference keyframe {r} dead/invalid")
+
+    return errs

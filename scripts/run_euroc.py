@@ -41,6 +41,8 @@ def main():
                          "dispatch (per-chip multi-agent scaling; "
                          "benchmarks/client_throughput.py)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--show-params", action="store_true",
+                    help="dump the parameter tree at startup (params::ShowParams)")
     args = ap.parse_args()
 
     import jax

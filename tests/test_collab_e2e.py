@@ -204,3 +204,13 @@ class TestServerKfCulling:
         m2, n = mapping_mod.cull_redundant_keyframes(m, cfg, protect_recent=2)
         # 2 newest protected + 2 oldest anchors -> exactly 1 culled
         assert int(n) == 1
+
+
+class TestMapStructure:
+    def test_final_merged_map_structure(self, collab_run):
+        """Deep structural validation of the end-state fused map — the
+        reference's Map::CheckStructure (DEBUGGING2) as a test gate."""
+        server, *_ = collab_run
+        slot = server.agents[0].map_slot
+        errs = ms.check_structure(server.maps[slot])
+        assert errs == [], errs[:10]

@@ -229,3 +229,42 @@ class TestCompaction:
                     obs = np.asarray(mps.obs_kf[mp][: int(mps.obs_n[mp])])
                     feats = np.asarray(mps.obs_feat[mp][: int(mps.obs_n[mp])])
                     assert any((obs == k) & (feats == f)), (k, f, mp, obs, feats)
+
+
+class TestCheckStructure:
+    def test_clean_map_passes(self):
+        from tests.test_map_store import fresh, add_kf, add_mps
+
+        m = fresh()
+        m, _ = add_mps(m, 4)
+        a = jnp.full((16,), -1, jnp.int32)
+        m, _ = add_kf(m, 0, mp_assoc=a.at[0].set(0).at[1].set(1))
+        m, _ = add_kf(m, 1, mp_assoc=a.at[2].set(2))
+        assert ms.check_structure(m) == []
+
+    def test_detects_forward_reverse_mismatch(self):
+        from tests.test_map_store import fresh, add_kf, add_mps
+
+        m = fresh()
+        m, _ = add_mps(m, 4)
+        a = jnp.full((16,), -1, jnp.int32)
+        m, _ = add_kf(m, 0, mp_assoc=a.at[0].set(0).at[1].set(1))
+        # corrupt: forward link without a reverse entry
+        m_bad = m.replace(kfs=m.kfs.replace(mp_idx=m.kfs.mp_idx.at[0, 5].set(2)))
+        errs = ms.check_structure(m_bad)
+        assert any("missing from" in e for e in errs), errs
+        # corrupt: reverse entry pointing at the wrong feature
+        m_bad2 = m.replace(mps=m.mps.replace(obs_feat=m.mps.obs_feat.at[0, 0].add(1)))
+        errs2 = ms.check_structure(m_bad2)
+        assert errs2, errs2
+
+    def test_detects_dead_reference(self):
+        from tests.test_map_store import fresh, add_kf, add_mps
+
+        m = fresh()
+        m, _ = add_mps(m, 2)
+        a = jnp.full((16,), -1, jnp.int32)
+        m, _ = add_kf(m, 0, mp_assoc=a.at[0].set(0))
+        m_bad = m.replace(mps=m.mps.replace(ref_kf=m.mps.ref_kf.at[0].set(9)))
+        errs = ms.check_structure(m_bad)
+        assert any("reference keyframe" in e for e in errs), errs

@@ -159,3 +159,14 @@ class TestStandaloneLoopMultiOctave:
         kf_gt = np.stack([gt_centers[round(float(x), 3)] for x in ts])
         rmse, _ = ate_rmse(kf_est, kf_gt)
         assert rmse < 0.35, rmse
+
+
+class TestLoopMapStructure:
+    def test_post_closure_map_structure(self, loop_run_multioctave):
+        """The loop correction + fusion + GBA pipeline must leave the
+        forward/reverse observation tables consistent (CheckStructure)."""
+        from ccm_slam_tpu.models import map_store as ms
+
+        sys_, *_ = loop_run_multioctave
+        errs = ms.check_structure(sys_.tracker.map)
+        assert errs == [], errs[:10]
