@@ -51,6 +51,30 @@ def write_tum(path, timestamps, R_cw, t_cw, t_sc=None):
             )
 
 
+def write_euroc(path, timestamps, R_cw, t_cw, t_sc=None):
+    """EuRoC state-estimate csv: ``ts_ns,px,py,pz,qw,qx,qy,qz,v*,bg*,ba*``
+    with zero velocity/bias columns — the reference's trajectory format 0
+    (cslam/src/Map.cpp:1652-1658; TUM is format 1)."""
+    import jax.numpy as jnp
+
+    R_wc = np.asarray(jnp.swapaxes(jnp.asarray(R_cw), -1, -2))
+    centers = np.asarray(camera_centers(jnp.asarray(R_cw), jnp.asarray(t_cw)))
+    if t_sc is not None:
+        T_sc = np.asarray(t_sc)
+        R_sc, p_sc = T_sc[:3, :3], T_sc[:3, 3]
+        centers = centers - np.einsum("nij,j->ni", R_wc @ R_sc.T, p_sc)
+        R_wc = R_wc @ R_sc.T
+    quats = np.asarray(rot_cw_to_quat_wc(jnp.asarray(np.swapaxes(R_wc, -1, -2))))
+    zeros = "0.0,0.0,0.0"
+    with open(path, "w") as f:
+        for ts, c, q in zip(np.asarray(timestamps), centers, quats):
+            f.write(
+                f"{float(ts) * 1e9:.0f},{c[0]:.7f},{c[1]:.7f},{c[2]:.7f},"
+                f"{q[0]:.7f},{q[1]:.7f},{q[2]:.7f},{q[3]:.7f},"
+                f"{zeros},{zeros},{zeros}\n"
+            )
+
+
 def ate_rmse(est_pos, gt_pos, align: str = "sim3"):
     """Absolute trajectory error after alignment (evo_ape ... -vas protocol).
 

@@ -41,6 +41,8 @@ def main():
                          "dispatch (per-chip multi-agent scaling; "
                          "benchmarks/client_throughput.py)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--traj-format", default="tum", choices=["tum", "euroc"],
+                    help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
                     help="dump the parameter tree at startup (params::ShowParams)")
     args = ap.parse_args()
@@ -54,7 +56,7 @@ def main():
     from ccm_slam_tpu.config import DEFAULT_CONFIG
     from ccm_slam_tpu.io import checkpoint as ckpt
     from ccm_slam_tpu.io import euroc, export
-    from ccm_slam_tpu.io.trajectory import ate_rmse, camera_centers, write_tum
+    from ccm_slam_tpu.io.trajectory import ate_rmse, camera_centers, write_euroc, write_tum
     from ccm_slam_tpu.ops import bow, orb
     from ccm_slam_tpu.runtime import communicator as comm
     from ccm_slam_tpu.runtime.server import Server
@@ -205,7 +207,8 @@ def main():
             R = np.asarray(m.kfs.R_cw)[idxs]
             t = np.asarray(m.kfs.t_cw)[idxs]
         path = os.path.join(args.out, f"KF_GBA_{i}.csv")
-        write_tum(path, ts, R, t, t_sc=t_sc)
+        writer = write_euroc if args.traj_format == "euroc" else write_tum
+        writer(path, ts, R, t, t_sc=t_sc)
         print(f"agent {i}: {len(ts)} keyframes -> {path}")
 
         # ATE against ground truth when available

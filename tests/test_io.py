@@ -245,3 +245,29 @@ class TestKittiLoader:
         pts = jnp.asarray(np.array([[100.0, 50.0], [600.0, 300.0]], np.float32))
         und = cam.undistort_pixels(pts)
         assert np.allclose(np.asarray(und), np.asarray(pts), atol=1e-3)
+
+
+class TestEurocTrajectoryFormat:
+    def test_roundtrip_consistent_with_tum(self, tmp_path):
+        from ccm_slam_tpu.io.trajectory import write_euroc, write_tum
+
+        rng = np.random.RandomState(0)
+        n = 5
+        ts = np.arange(n) * 0.05 + 100.0
+        import jax.numpy as jnp
+        from ccm_slam_tpu.utils.lie import so3_exp
+        R = np.stack([np.asarray(so3_exp(jnp.asarray(rng.randn(3) * 0.1))) for _ in range(n)])
+        t = rng.randn(n, 3).astype(np.float32)
+        p_tum = tmp_path / "t.txt"
+        p_eur = tmp_path / "e.csv"
+        write_tum(str(p_tum), ts, R, t)
+        write_euroc(str(p_eur), ts, R, t)
+        tum = np.loadtxt(p_tum)
+        eur = np.loadtxt(p_eur, delimiter=",")
+        assert eur.shape == (n, 17)
+        np.testing.assert_allclose(eur[:, 0] * 1e-9, tum[:, 0], atol=1e-6)
+        np.testing.assert_allclose(eur[:, 1:4], tum[:, 1:4], atol=1e-6)  # positions
+        # quaternion order: euroc wxyz vs tum xyzw
+        np.testing.assert_allclose(eur[:, 4], tum[:, 7], atol=1e-6)      # w
+        np.testing.assert_allclose(eur[:, 5:8], tum[:, 4:7], atol=1e-6)  # xyz
+        assert np.allclose(eur[:, 8:], 0.0)                               # v/bg/ba
