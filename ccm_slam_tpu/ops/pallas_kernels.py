@@ -581,7 +581,7 @@ def _schur_wtv_kernel(Cp: int, K: int, exact: bool):
 
 
 def make_schur_ops(Vinv, cam_idx, C: int, WT, exact: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, WT_kmajor: bool = False):
     """The three Schur-stage operators over one shared k-major W packing:
 
       off(v [C,6]) -> [C,6]   full off-diagonal matvec (the CG hot loop)
@@ -607,7 +607,11 @@ def make_schur_ops(Vinv, cam_idx, C: int, WT, exact: bool = False,
     Ep = Pp * K
     grid = (Ep // EB,)
 
-    WTk = _kmajor_cols(WT[:, :E], K, EB)
+    if WT_kmajor:
+        assert WT.shape[1] == Ep, (WT.shape, Ep)
+        WTk = WT
+    else:
+        WTk = _kmajor_cols(WT[:, :E], K, EB)
     VinvT = _pad_axis(_pad_axis(Vinv.reshape(P, 9), 16, 1).T, Pp, 1)[:16]
     ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
     ci = _kmajor_cols(ci, K, EB, pad_value=Cp)[None, :]
@@ -721,13 +725,14 @@ def _seg_onehot(EB: int, K: int):
     ).astype(jnp.float32)
 
 
-def _normal_blocks_kernel(Cp: int, K: int, delta: float):
+def _normal_blocks_kernel(Cp: int, K: int, delta: float, kmajor: bool = False):
     from jax.experimental import pallas as pl
 
     G = G_FACTOR
     H = Cp // G
     HI = jax.lax.Precision.HIGHEST
     d2 = delta * delta
+    UCHUNK = 8  # payload rows per U-reduce pass (bounds the zz VMEM scratch)
 
     def kernel(vg_ref, XT_ref, obs_ref, ci_ref, intr_ref, WT_ref, Vg_ref, Ug_ref, cost_ref):
         j = pl.program_id(0)
@@ -747,7 +752,6 @@ def _normal_blocks_kernel(Cp: int, K: int, delta: float):
         oh_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (H, EB), 0) == ci // G
         ).astype(jnp.float32)
-        seg = _seg_onehot(EB, K)  # [EB, PB]
 
         # camera fields -> observation lanes (rows: R 0..8, t 9..11, var 12)
         Z = jax.lax.dot_general(
@@ -760,10 +764,15 @@ def _normal_blocks_kernel(Cp: int, K: int, delta: float):
         var_e = cam[12]
 
         # landmark fields -> observation lanes (rows: X 0..2, valid 3)
-        Xl = jax.lax.dot_general(
-            XT_ref[:], seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [8, EB]
+        if kmajor:
+            # block-local k-major (lane = k*PB + p): point fields lane-tile
+            Xl = jnp.concatenate([XT_ref[:]] * K, axis=1)  # [8, EB]
+        else:
+            seg = _seg_onehot(EB, K)  # [EB, PB]
+            Xl = jax.lax.dot_general(
+                XT_ref[:], seg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )  # [8, EB]
         Xe = Xl[0:3]
         pvalid = Xl[3]
 
@@ -818,10 +827,16 @@ def _normal_blocks_kernel(Cp: int, K: int, delta: float):
         ]
         gp_rows = [-w * (Jp0[i] * r0 + Jp1[i] * r1) for i in range(3)]
         Vg = jnp.stack(V_rows + gp_rows + [zero] * 4, axis=0)  # [16, EB]
-        Vg_ref[:] = jax.lax.dot_general(
-            Vg, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [16, PB]
+        if kmajor:
+            acc = Vg[:, 0:PB]
+            for k in range(1, K):
+                acc = acc + Vg[:, k * PB : (k + 1) * PB]
+            Vg_ref[:] = acc
+        else:
+            Vg_ref[:] = jax.lax.dot_general(
+                Vg, seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )  # [16, PB]
 
         # U = w Jc^T Jc (36), g_c = -w Jc^T r (6) -> camera reduce
         U_rows = [
@@ -831,11 +846,22 @@ def _normal_blocks_kernel(Cp: int, K: int, delta: float):
         ]
         gc_rows = [-w * (Jc0[i] * r0 + Jc1[i] * r1) for i in range(6)]
         Ug = jnp.stack(U_rows + gc_rows + [zero] * 6, axis=0)  # [48, EB]
-        zz = oh_lo[:, None, :] * Ug[None, :, :]  # [G, 48, EB]
-        Ug_ref[:] += jax.lax.dot_general(
-            oh_hi, zz.reshape(G * 48, EB), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [H, G*48]
+        if kmajor:
+            # chunked reduce bounds the zz scratch (fat k-major blocks);
+            # output layout [H, 48*G]: column = payload_row * G + lo
+            for c0 in range(0, 48, UCHUNK):
+                zz = Ug[c0 : c0 + UCHUNK][:, None, :] * oh_lo[None, :, :]
+                Ug_ref[:, c0 * G : (c0 + UCHUNK) * G] += jax.lax.dot_general(
+                    oh_hi, zz.reshape(UCHUNK * G, EB), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )  # [H, UCHUNK*G]
+        else:
+            # single-pass reduce; output layout [H, G*48]: column = lo*48 + row
+            zz = oh_lo[:, None, :] * Ug[None, :, :]  # [G, 48, EB]
+            Ug_ref[:] += jax.lax.dot_general(
+                oh_hi, zz.reshape(G * 48, EB), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )  # [H, G*48]
 
         # Huber cost partial sums (invalid lanes have chi2 = 0 -> rho = 0)
         rows = EB // 128
@@ -856,15 +882,24 @@ def _obs_block_size(K: int) -> int:
     return EB
 
 
-def _pack_problem(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C: int):
-    """Host-side packing shared by the fused kernels."""
+def _pack_problem(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C: int,
+                  kmajor: bool = False):
+    """Host-side packing shared by the fused kernels.
+
+    ``kmajor`` packs observations into the matvec's block-local k-major
+    layout (and its fat block size), so the WT the assembly kernel writes is
+    DIRECTLY consumable by make_schur_ops — no per-LM-iteration repack."""
     G = G_FACTOR
     P, K = cam_idx.shape
     E = P * K
-    EB = _obs_block_size(K)
-    Ep = -(-E // EB) * EB
+    EB = _matvec_eb(K) if kmajor else _obs_block_size(K)
     PB = EB // K
-    Pp = Ep // K
+    if kmajor:
+        Pp = -(-P // PB) * PB
+        Ep = Pp * K
+    else:
+        Ep = -(-E // EB) * EB
+        Pp = Ep // K
     Cp = -(-C // 128) * 128
     H = Cp // G
 
@@ -878,10 +913,14 @@ def _pack_problem(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C: int):
         [uv[..., 0].reshape(-1), uv[..., 1].reshape(-1),
          sigma2.reshape(-1), obs_valid.reshape(-1).astype(jnp.float32)], axis=0,
     ).astype(jnp.float32)  # [4, E]
-    obs = _pad_axis(jnp.concatenate([obs, jnp.zeros((4, E), jnp.float32)]), EB, 1)
-
     ci = jnp.clip(cam_idx.reshape(-1).astype(jnp.int32), 0, C - 1)
-    ci = _pad_axis(ci[None, :], EB, 1, value=Cp)
+    if kmajor:
+        obs = _kmajor_cols(obs, K, EB)
+        obs = jnp.concatenate([obs, jnp.zeros_like(obs[:4])])
+        ci = _kmajor_cols(ci, K, EB, pad_value=Cp)[None, :]
+    else:
+        obs = _pad_axis(jnp.concatenate([obs, jnp.zeros((4, E), jnp.float32)]), EB, 1)
+        ci = _pad_axis(ci[None, :], EB, 1, value=Cp)
 
     return EB, Ep, PB, Pp, Cp, H, XT, obs, ci
 
@@ -898,16 +937,18 @@ def _pack_cameras(R, t, cam_fixed, C: int, Cp: int):
     return jnp.transpose(rows.reshape(H, G, 16), (1, 2, 0)).reshape(G * 16, H)
 
 
-@partial(jax.jit, static_argnames=("C", "huber_delta", "interpret"))
+@partial(jax.jit, static_argnames=("C", "huber_delta", "interpret", "kmajor"))
 def fused_normal_blocks(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
                         cam_fixed, C: int, fx, fy, cx, cy,
-                        huber_delta: float, interpret: bool = False):
+                        huber_delta: float, interpret: bool = False,
+                        kmajor: bool = False):
     """One-pass normal-equation assembly on TPU.
 
     Returns (U [C,6,6], V [P,3,3], WT [24, Ep], g_c [C,6], g_p [P,3],
-    cost_current scalar).  WT is the padded obs-major transpose of W — the
-    exact layout ``make_schur_matvec``'s kernel consumes; recover
-    W [P,K,6,3] with ``unpack_WT``.
+    cost_current scalar).  WT is the padded transpose of W: obs-major by
+    default (recover W [P,K,6,3] with ``unpack_WT``); with ``kmajor=True``
+    it comes out in the matvec kernels' block-local k-major layout, ready
+    for ``make_schur_ops(..., WT_kmajor=True)`` with zero repack.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -915,14 +956,14 @@ def fused_normal_blocks(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
     G = G_FACTOR
     P, K = cam_idx.shape
     EB, Ep, PB, Pp, Cp, H, XT, obs, ci = _pack_problem(
-        R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C
+        R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid, C, kmajor=kmajor
     )
     vg = _pack_cameras(R, t, cam_fixed, C, Cp)
 
     grid = (Ep // EB,)
     intr = jnp.zeros((1, 128), jnp.float32)
     intr = intr.at[0, 0].set(fx).at[0, 1].set(fy).at[0, 2].set(cx).at[0, 3].set(cy)
-    kernel = _normal_blocks_kernel(Cp, K, float(huber_delta))
+    kernel = _normal_blocks_kernel(Cp, K, float(huber_delta), kmajor=kmajor)
     WT, Vg, Ug, cost = pl.pallas_call(
         kernel,
         grid=grid,
@@ -948,7 +989,11 @@ def fused_normal_blocks(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
         interpret=interpret,
     )(vg, XT, obs, ci, intr)
 
-    UgC = Ug.reshape(H, G, 48).reshape(Cp, 48)[:C]
+    if kmajor:
+        # [H, 48*G] (column = row*G + lo): c = hi*G + lo -> [hi, :, lo]
+        UgC = jnp.transpose(Ug.reshape(H, 48, G), (0, 2, 1)).reshape(Cp, 48)[:C]
+    else:
+        UgC = Ug.reshape(H, G, 48).reshape(Cp, 48)[:C]
     U = UgC[:, :36].reshape(C, 6, 6)
     g_c = UgC[:, 36:42]
     VgP = Vg[:, :P].T
@@ -957,10 +1002,16 @@ def fused_normal_blocks(R, t, X, point_valid, cam_idx, uv, sigma2, obs_valid,
     return U, V, WT, g_c, g_p, jnp.sum(cost)
 
 
-def unpack_WT(WT, P: int, K: int):
-    """WT [24, Ep] -> W [P, K, 6, 3]."""
+def unpack_WT(WT, P: int, K: int, kmajor: bool = False):
+    """WT [24, Ep] -> W [P, K, 6, 3] (either column layout)."""
     E = P * K
-    return WT[:18, :E].T.reshape(P, K, 6, 3)
+    if not kmajor:
+        return WT[:18, :E].T.reshape(P, K, 6, 3)
+    EB = _matvec_eb(K)
+    PB = EB // K
+    NB = WT.shape[1] // EB
+    w = WT[:18].reshape(18, NB, K, PB).transpose(0, 1, 3, 2).reshape(18, -1)
+    return w[:, :E].T.reshape(P, K, 6, 3)
 
 
 def _reproj_cost_kernel(Cp: int, K: int, delta: float):

@@ -345,7 +345,9 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
         # stages, so W [P,K,6,3] is never materialized on this path
         from ..ops import pallas_kernels as pk
 
-        off_mv, rhs_op, wtv_op = pk.make_schur_ops(Vinv, prob.cam_idx, C, WT=WT)
+        off_mv, rhs_op, wtv_op = pk.make_schur_ops(
+            Vinv, prob.cam_idx, C, WT=WT, WT_kmajor=True
+        )
 
         def S_mv(v):
             v = jnp.where(active[:, None], v, 0.0)
@@ -469,13 +471,13 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
 
         def build_blocks(R, t, X):
             # one-pass fused assembly (residuals -> Jacobians -> blocks);
-            # W stays in its packed obs-major transpose — the PCG consumers
-            # (matvec/rhs/backsub) read the shared k-major repack, the dense
-            # path unpacks it once per iteration
+            # the PCG path emits WT directly in the Schur kernels' k-major
+            # layout (zero repack per iteration), the dense path unpacks W
             U, V, WT, g_c, g_p, _ = pk.fused_normal_blocks(
                 R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
                 prob.obs_valid, prob.cam_fixed, C,
                 prob.fx, prob.fy, prob.cx, prob.cy, huber_delta,
+                kmajor=use_pcg,
             )
             ci = jnp.clip(prob.cam_idx, 0, C - 1)
             W = None if use_pcg else pk.unpack_WT(WT, P, K)

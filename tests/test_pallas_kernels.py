@@ -144,16 +144,20 @@ class TestFusedNormalBlocks:
         cost = ba._cost(prob, prob.R, prob.t, prob.X, self.DELTA)
         return U, V, W, g_c, g_p, cost
 
-    @pytest.mark.parametrize("P,K,C", [(700, 4, 40), (300, 8, 130), (257, 12, 9)])
-    def test_matches_xla_path(self, P, K, C):
+    @pytest.mark.parametrize("P,K,C,kmajor", [
+        (700, 4, 40, False), (300, 8, 130, False), (257, 12, 9, False),
+        (700, 4, 40, True), (300, 8, 130, True), (257, 12, 9, True),
+    ])
+    def test_matches_xla_path(self, P, K, C, kmajor):
         prob = _small_ba_problem(P=P, K=K, C=C, seed=P)
         U, V, W, g_c, g_p, cost = self._golden(prob)
         Uk, Vk, WTk, g_ck, g_pk, costk = pk.fused_normal_blocks(
             prob.R, prob.t, prob.X, prob.point_valid, prob.cam_idx, prob.uv,
             prob.sigma2, prob.obs_valid, prob.cam_fixed, C,
             prob.fx, prob.fy, prob.cx, prob.cy, self.DELTA, interpret=True,
+            kmajor=kmajor,
         )
-        Wk = pk.unpack_WT(WTk, P, K)
+        Wk = pk.unpack_WT(WTk, P, K, kmajor=kmajor)
         # tolerances: f32 summation-order noise scales with the accumulation
         # magnitude (verified against a float64 golden: both paths sit within
         # ~2e-6 relative of it); atol is tied to the largest block entry
@@ -204,6 +208,10 @@ class TestSchurOps:
         )
         off, rhs, wtv = pk.make_schur_ops(Vinv, ci, C, WT=WT, exact=True,
                                           interpret=True)
+        # kmajor-packed WT must give identical operators
+        WTk = pk._kmajor_cols(WT[:, : P * K], K, pk._matvec_eb(K))
+        off2, rhs2, wtv2 = pk.make_schur_ops(Vinv, ci, C, WT=WTk, exact=True,
+                                             interpret=True, WT_kmajor=True)
         v = jnp.asarray(rng.randn(C, 6).astype(np.float32))
         q = jnp.asarray(rng.randn(P, 3).astype(np.float32))
         np.testing.assert_allclose(
@@ -221,3 +229,6 @@ class TestSchurOps:
             np.asarray(pk.schur_wtv_reference(W, ci, C)(v)),
             rtol=1e-4, atol=1e-3,
         )
+        np.testing.assert_array_equal(np.asarray(off(v)), np.asarray(off2(v)))
+        np.testing.assert_array_equal(np.asarray(rhs(q)), np.asarray(rhs2(q)))
+        np.testing.assert_array_equal(np.asarray(wtv(v)), np.asarray(wtv2(v)))
