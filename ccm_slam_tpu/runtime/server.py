@@ -194,12 +194,19 @@ class Server:
                 # update for an unknown keyframe: ask for a full resend
                 weak_kf = max(weak_kf, self._weak_ack_kf(ag))
                 continue
-            # full keyframe: translate landmark ids to arena indices
+            # full keyframe: translate landmark ids to arena indices.
+            # A mapped landmark may have DIED since the table entry was made
+            # (duplicate fusion / culling) — linking to the corpse would
+            # violate the forward/reverse discipline (the reference checks
+            # isBad on every lookup, e.g. Communicator.cpp ProcessKfInServer)
+            mp_alive = np.asarray(m.mps.valid & ~m.mps.bad)
             assoc_ids = np.asarray(item.mp_assoc_id)
             assoc = np.full(assoc_ids.shape[0], -1, np.int32)
             for j, mid in enumerate(assoc_ids):
                 if mid >= 0 and int(mid) in ag.mp_table:
-                    assoc[j] = ag.mp_table[int(mid)]
+                    p = ag.mp_table[int(mid)]
+                    if mp_alive[p]:
+                        assoc[j] = p
             m, k = ms.add_keyframe(
                 m, jnp.int32(kf_id), jnp.int32(agent_id), item.timestamp,
                 T_abs.R, T_abs.t,
@@ -259,6 +266,10 @@ class Server:
         normal_w = T_ref.R.T @ item.normal_ref
         if mp_id in ag.mp_table:
             p = ag.mp_table[mp_id]
+            if bool(m.mps.bad[p]):
+                # landmark retired server-side (fused into a duplicate or
+                # culled): acknowledge, never resurrect or re-link
+                return m, True, mp_id
             m = m.replace(
                 mps=m.mps.replace(
                     pos=m.mps.pos.at[p].set(pos_w),
@@ -293,6 +304,8 @@ class Server:
             if not okv or int(kf_id) not in ag.kf_table:
                 continue
             k_arena = ag.kf_table[int(kf_id)]
+            if bool(m.kfs.bad[k_arena]):
+                continue  # keyframe culled server-side: no new links
             if int(m.kfs.mp_idx[k_arena, int(feat)]) >= 0:
                 continue
             m = m.replace(
