@@ -71,7 +71,7 @@ def main():
             U, V, WT, g_c, g_p, _ = pk.fused_normal_blocks(
                 R, t, X, prob.point_valid, prob.cam_idx, prob.uv, prob.sigma2,
                 prob.obs_valid, prob.cam_fixed, C,
-                prob.fx, prob.fy, prob.cx, prob.cy, huber)
+                prob.fx, prob.fy, prob.cx, prob.cy, huber, kmajor=True)
         else:
             U, V, W, g_c, g_p, ci = ba._build_normal_blocks(prob, R, t, X, huber, trans=trans)
         return (R + U[0, 0, 0] * 1e-20, t, X + g_p * 1e-20), None
