@@ -90,13 +90,13 @@ def main():
     n_obs = int(np.asarray(prob.obs_valid).sum())
     use_mesh = args.cpu8 or len(jax.devices()) > 1
 
-    def solve(p, iters):
+    def solve(p, iters, with_stats=True):
         if use_mesh:
             mesh = dist_ba.make_mesh()
             ps = dist_ba.shard_problem(p, mesh)
             R, t, X, cost = dist_ba.dist_ba_solve(ps, mesh, iters=iters)
             return R, t, X, float(cost)
-        R, t, X, cost, _ = ba.ba_solve(p, iters=iters)
+        R, t, X, cost, _ = ba.ba_solve(p, iters=iters, with_stats=with_stats)
         return R, t, X, float(cost)
 
     iters = 20
@@ -104,7 +104,8 @@ def main():
     # (iters is a static jit arg: a different value is a different compile,
     # and remote-tunnel compiles are ~20 s — previously inflated this metric)
     _, _, _, c_warm = solve(prob, iters)
-    _, _, _, _ = solve(prob, 5)  # the chunk size used below
+    _, _, _, _ = solve(prob, 5, with_stats=False)  # compile the chunk variant
+    _, _, _, _ = solve(prob, 5)
     t0 = time.perf_counter()
     R, t, X, cost_full = solve(prob, iters)
     dt = time.perf_counter() - t0
@@ -130,7 +131,8 @@ def main():
     done = 0
     while done < iters:
         chunk = min(5, iters - done)
-        R, t, X, cost_chunked = solve(p, chunk)
+        last = done + chunk >= iters
+        R, t, X, cost_chunked = solve(p, chunk, with_stats=last)
         p = p.replace(R=R, t=t, X=X)
         done += chunk
         # <- a fresh-data preemption would simply stop here; the map keeps

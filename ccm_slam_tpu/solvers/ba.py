@@ -423,9 +423,11 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
     return delta_c, delta_p
 
 
-@partial(jax.jit, static_argnames=("iters", "huber_delta", "cg_iters", "pcg_backend"))
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "cg_iters",
+                                   "pcg_backend", "with_stats"))
 def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
-             cg_iters: int = 16, pcg_backend: str = "auto"):
+             cg_iters: int = 16, pcg_backend: str = "auto",
+             with_stats: bool = True):
     """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
 
     Interruptibility contract (the reference's INTERRUPTBA / stop-flag,
@@ -531,23 +533,23 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
 
     cost0 = cost_fn(prob.R, prob.t, prob.X)
     dc0 = jnp.zeros((C, 6), jnp.float32)
-    (R, t, X, _, _, _), costs = jax.lax.scan(
+    (R, t, X, _, final_cost, _), costs = jax.lax.scan(
         lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0, dc0), None,
         length=iters,
     )
-    # final statistics: one pass; on the Pallas path the camera broadcast
-    # operator avoids the slow per-observation pose gather at scale
-    fin_bcast = (
-        _pcg_transitions_pallas(prob.cam_idx, C)[0] if use_pallas else cam_bcast
-    )
-    _, _, _, chi2, valid, _ = _residuals_and_weights(
-        prob, R, t, X, huber_delta, cam_bcast=fin_bcast
-    )
-    n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)
-    final_cost = (
-        cost_fn(R, t, X) if use_pallas
-        else _cost(prob, R, t, X, huber_delta, cam_bcast=cam_bcast)
-    )
+    # the carried cost IS the exact cost of the accepted final state — no
+    # recomputation; inlier statistics optionally skipped for interruptible
+    # chunks (only the last chunk needs them)
+    if with_stats:
+        fin_bcast = (
+            _pcg_transitions_pallas(prob.cam_idx, C)[0] if use_pallas else cam_bcast
+        )
+        _, _, _, chi2, valid, _ = _residuals_and_weights(
+            prob, R, t, X, huber_delta, cam_bcast=fin_bcast
+        )
+        n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)
+    else:
+        n_good = jnp.int32(-1)
     return R, t, X, final_cost, n_good
 
 
