@@ -383,7 +383,7 @@ class Server:
 
     # ------------------------------------------------------------------- GBA
 
-    def _run_gba(self, slot: int, iters: int):
+    def _run_gba(self, slot: int, iters: int, with_stats: bool = True):
         m = self.maps[slot]
         alive = m.kfs.valid & ~m.kfs.bad
         order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
@@ -396,7 +396,9 @@ class Server:
             probs = dist_ba.shard_problem(prob, self.mesh)
             R, t, X, cost = dist_ba.dist_ba_solve(probs, self.mesh, iters=iters)
         else:
-            R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
+            R, t, X, cost, n_good = ba.ba_solve(
+                prob, iters=iters, with_stats=with_stats
+            )
         self.maps[slot] = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
         return float(cost)
 
@@ -425,8 +427,8 @@ class Server:
                 self.gba_dirty[slot] = False
                 continue
             if self.gba_dirty[slot] and self.gba_progress[slot] < self.gba_total_iters:
-                # interruptible chunk
-                self._run_gba(slot, iters=self.gba_chunk_iters)
+                # interruptible chunk (stats only on the final GBA)
+                self._run_gba(slot, iters=self.gba_chunk_iters, with_stats=False)
                 self.gba_progress[slot] += self.gba_chunk_iters
                 if self.gba_progress[slot] >= self.gba_total_iters:
                     self.gba_dirty[slot] = False
