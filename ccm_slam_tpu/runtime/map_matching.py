@@ -98,16 +98,20 @@ class MapMatcher:
         self.db = kdb.regrid(self.db, self.kf_capacity, new_kf_capacity, self.n_slots)
         self.kf_capacity = new_kf_capacity
 
-    def detect(self, map_slot: int, m: ms.MapState, kf_idx: int):
-        """Cross-map candidates for one keyframe: [(map_slot_b, kf_b), ...]."""
+    def detect(self, map_slot: int, m: ms.MapState, kf_idx: int, maps: dict = None):
+        """Cross-map candidates for one keyframe: [(map_slot_b, kf_b), ...].
+
+        maps: {slot: MapState} of the OTHER maps (as passed to try_match);
+        the query map is added internally.  Their real covisibility graphs
+        drive the candidate-group score accumulation."""
         if int(m.kfs.kf_id[kf_idx]) < self.cfg.placerec.start_map_matching_after_kf:
             return []
         vec, _ = bow.transform(self.vocab, m.kfs.desc[kf_idx], m.kfs.feat_valid[kf_idx])
-        # block covisibility for group accumulation: approximate with
-        # neighbor-by-index within each map block (cheap, used only to pool
-        # scores of adjacent keyframes)
+        all_maps = dict(maps or {})
+        all_maps[map_slot] = m
         cand_mask, scores = kdb.detect_map_match_candidates(
-            self.db, vec, jnp.int32(map_slot), self._block_covis(), min_score=0.015
+            self.db, vec, jnp.int32(map_slot), self._global_covis(all_maps),
+            min_score=0.015,
         )
         out = []
         s_np = np.asarray(scores)
@@ -116,15 +120,20 @@ class MapMatcher:
         out.sort(key=lambda x: -x[2])
         return out
 
-    def _block_covis(self):
-        """Global pseudo-covisibility: keyframes within +-3 arena slots of the
-        same map count as a group (the true covisibility graph is per-map;
-        arena order ~ insertion order makes this a faithful cheap proxy)."""
+    def _global_covis(self, maps: dict):
+        """Block-diagonal global covisibility over the shared-db index space
+        (slot*stride + arena idx): the REAL per-map covisibility matrices,
+        not an arena-adjacency proxy — after merges/culling arena order no
+        longer tracks spatial adjacency (DetectMapMatchCandidates pools
+        scores over GetBestCovisibilityKeyFrames, Database.cpp:260-292)."""
         n = self.db.capacity
-        idx = jnp.arange(n)
-        same_map = (idx[:, None] // self.kf_capacity) == (idx[None, :] // self.kf_capacity)
-        near = jnp.abs(idx[:, None] - idx[None, :]) <= 3
-        return (same_map & near & (idx[:, None] != idx[None, :])).astype(jnp.int32) * 100
+        Wg = jnp.zeros((n, n), jnp.int32)
+        for slot, mm in maps.items():
+            W = ms.covisibility_matrix(mm).astype(jnp.int32)
+            lo = slot * self.kf_capacity
+            K = min(W.shape[0], self.kf_capacity)
+            Wg = Wg.at[lo : lo + K, lo : lo + K].set(W[:K, :K])
+        return Wg
 
     def try_match(self, map_slot_a: int, m_a: ms.MapState, kf_idx: int,
                   maps: dict):
@@ -132,7 +141,7 @@ class MapMatcher:
 
         maps: {map_slot: MapState}.  Returns MergeResult or None; on success
         map A is absorbed into map B (A's entities appended to B's arena)."""
-        for slot_b, kf_b, score in self.detect(map_slot_a, m_a, kf_idx)[:3]:
+        for slot_b, kf_b, score in self.detect(map_slot_a, m_a, kf_idx, maps)[:3]:
             if slot_b == map_slot_a or slot_b not in maps:
                 continue
             m_b = maps[slot_b]

@@ -34,11 +34,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _common_setup(cpu: bool):
+def _common_setup(cpu: bool, args=None):
     import jax
 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args is not None and getattr(args, "coordinator", None):
+        # process-spanning device mesh (the multi-host slice of BASELINE
+        # config 4): every participating process calls in with the same
+        # coordinator; jax.devices() then covers ALL hosts' chips and the
+        # GBA mesh in run_server spans them via ordinary ICI/DCN collectives
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
 
 def _build_cfg(n_feat):
@@ -84,7 +94,7 @@ def _vocab(world_seed: int):
 
 
 def run_server(args):
-    _common_setup(args.cpu)
+    _common_setup(args.cpu, args)
     from ccm_slam_tpu.io.trajectory import write_tum
     from ccm_slam_tpu.native import NativeChannel
     from ccm_slam_tpu.runtime.server import Server
@@ -94,6 +104,16 @@ def run_server(args):
     server = Server(cfg=cfg, cam=_camera(), vocab=_vocab(args.world_seed),
                     n_agents=args.agents)
     server.quiescence_steps = args.quiescence
+    if getattr(args, "dist_gba", False):
+        import jax as _jax
+
+        from ccm_slam_tpu.parallel import dist_ba
+
+        server.mesh = dist_ba.make_mesh(_jax.devices())
+        print(json.dumps({"event": "gba_mesh",
+                          "devices": len(_jax.devices()),
+                          "processes": getattr(args, "num_processes", 1)}),
+              flush=True)
 
     listen_fd = NativeChannel.listener(args.port)
     print(json.dumps({"event": "server_listening", "port": args.port}), flush=True)
@@ -318,6 +338,17 @@ def main():
     ps.add_argument("--out", default="out_mp")
     ps.add_argument("--quiescence", type=int, default=10)
     ps.add_argument("--save-map", action="store_true")
+    # process-spanning GBA mesh (jax.distributed): run one of these per host
+    # alongside the server/worker processes; the GBA solve then shards its
+    # landmarks over every chip of every process (parallel/dist_ba)
+    ps.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (enables jax.distributed)")
+    ps.add_argument("--num-processes", type=int, default=1)
+    ps.add_argument("--process-id", type=int, default=0)
+    ps.add_argument("--dist-gba", action="store_true",
+                    help="run server GBA landmark-sharded over ALL visible "
+                         "devices (local chips, or every host's chips when "
+                         "--coordinator is set)")
     ps.set_defaults(fn=run_server)
 
     pc = sub.add_parser("client", parents=[common])

@@ -54,6 +54,72 @@ class TestMapMatching:
         _, _, res, _, _ = merged
         assert res is not None
 
+    def test_global_covis_is_real_per_map_covis(self, merged):
+        """Candidate grouping must use the REAL covisibility graphs, laid out
+        block-diagonally in the shared-db index space — not an arena-adjacency
+        proxy (post-merge/culling arena order != spatial adjacency)."""
+        m_a, m_b, _, _, _ = merged
+        cfg = SystemConfig(
+            capacity=CapacityConfig(
+                max_keypoints=N_FEAT, client_max_kfs=16, client_max_mps=1024,
+                max_obs_per_mp=8,
+            ),
+            placerec=PlaceRecConfig(start_map_matching_after_kf=0),
+        )
+        cam = Camera.from_config(CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0))
+        vocab = bow.train_vocabulary(
+            jax.random.PRNGKey(0), m_b.kfs.desc[0], m_b.kfs.feat_valid[0],
+            n_words=64, iters=2,
+        )
+        matcher = MapMatcher(cfg=cfg, cam=cam, vocab=vocab, n_slots=4, kf_capacity=16)
+        Wg = np.asarray(matcher._global_covis({0: m_a, 1: m_b}))
+        stride = matcher.kf_capacity
+        for slot, m in [(0, m_a), (1, m_b)]:
+            W = np.asarray(ms.covisibility_matrix(m))
+            lo = slot * stride
+            np.testing.assert_array_equal(Wg[lo : lo + 16, lo : lo + 16], W[:16, :16])
+        # off-diagonal blocks (cross-map) must be zero
+        assert Wg[:16, stride : stride + 16].sum() == 0
+
+    def test_merge_with_shuffled_arena_order(self):
+        """Arena order deliberately decorrelated from spatial adjacency:
+        keyframes inserted in interleaved x order, so arena-adjacent slots
+        share no landmarks.  Grouping by real covisibility must still find
+        and fuse the overlap (an index-adjacency proxy pools the wrong
+        neighbors here)."""
+        rng = np.random.RandomState(5)
+        world, wdesc = make_world(rng, n=420)
+        cfg = SystemConfig(
+            capacity=CapacityConfig(
+                max_keypoints=N_FEAT, client_max_kfs=16, client_max_mps=1024,
+                max_obs_per_mp=8,
+            ),
+            placerec=PlaceRecConfig(start_map_matching_after_kf=0),
+        )
+        cam = Camera.from_config(CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0))
+        # interleaved spatial order: consecutive arena slots are ~2m apart
+        # (disjoint landmark sets), spatial neighbors are 3-4 slots apart
+        xs_b = [0.0, 2.0, 4.0, 0.5, 2.5, 4.5, 1.0, 3.0]
+        m_b = build_agent_map(world, wdesc, xs_b, Sim3.identity(), client_id=1,
+                              kf_cap=16, mp_cap=2048)
+        gauge_a = Sim3(
+            s=jnp.float32(1.3), R=so3_exp(jnp.array([0.0, 0.0, -0.04])),
+            t=jnp.array([-0.3, 0.1, 0.2]),
+        )
+        m_a = build_agent_map(world, wdesc, [3.0, 2.0, 1.0], gauge_a,
+                              kf_id_base=50, client_id=0, kf_cap=16, mp_cap=2048)
+        vocab = bow.train_vocabulary(
+            jax.random.PRNGKey(0), jnp.asarray(wdesc), jnp.ones(len(wdesc), bool),
+            n_words=256, iters=6,
+        )
+        matcher = MapMatcher(cfg=cfg, cam=cam, vocab=vocab, n_slots=4, kf_capacity=16)
+        for k in range(len(xs_b)):
+            matcher.insert_keyframe(1, m_b, k)
+        res = matcher.try_match(0, m_a, 2, {1: m_b})
+        assert res is not None
+        inv = gauge_a.inverse()
+        np.testing.assert_allclose(float(res.S_from_to.s), float(inv.s), rtol=0.05)
+
     def test_gauge_recovered(self, merged):
         m_a, m_b, res, world, gauge_a = merged
         # S_from_to must undo gauge_a (map A world -> true/B world)
