@@ -455,9 +455,12 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
     use_pcg = C > int(os.environ.get("CCM_PCG_MIN_C", "96"))
     # the fused assembly/cost kernels pay off for ANY solver once the
     # problem has real volume (the dense path otherwise materializes a
-    # [P,K,C] one-hot for the U reduction)
+    # [P,K,C] one-hot for the U reduction); their VMEM block layout caps the
+    # per-landmark observation-slot count at 16 (ops/pallas_kernels
+    # _obs_block_size) — wider tables fall back to the XLA path
     use_pallas = (
         _resolve_pcg_backend(pcg_backend) == "pallas" and P * K >= 8192
+        and K <= 16
     )
     if use_pcg:
         # transition operators, once per solve (cam_idx is constant across
