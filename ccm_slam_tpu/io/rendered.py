@@ -29,6 +29,7 @@ every pyramid octave.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
@@ -189,10 +190,12 @@ def corridor_trajectory(n_frames: int, fps: float, span=(0.0, 1.0), seed: int = 
 
 def loop_trajectory(n_frames: int, fps: float, span=(0.0, 1.0), seed: int = 0,
                     W: float = 36.0, H: float = 26.0, hw: float = 2.4):
-    """Circuit around the inner block's centerline rectangle with rounded
-    corners; span in laps (1.04 revisits the start for loop closure)."""
-    cx0, cx1 = 2 * hw + hw, W - 2 * hw - hw
-    cy0, cy1 = 2 * hw + hw, H - 2 * hw - hw
+    """Circuit along the corridor centerline between the outer box and the
+    inner block (the corridor spans 0..2*hw from each outer wall, so the
+    centerline is offset hw); span in laps (1.04 revisits the start for
+    loop closure)."""
+    cx0, cx1 = hw, W - hw
+    cy0, cy1 = hw, H - hw
     r = 1.6  # corner radius
     sx, sy = cx1 - cx0 - 2 * r, cy1 - cy0 - 2 * r
     arc = math.pi * r / 2
@@ -322,7 +325,14 @@ def render(planes, rays_cam: np.ndarray, R_wc: np.ndarray, o_w: np.ndarray,
     if ss > 1:
         # sensor pixel integration: average the ss x ss subpixel samples
         img = img.reshape(H // ss, ss, W // ss, ss).mean(axis=(1, 3))
-        H, W = img.shape
+    return _sensor_model(img, t, rng, noise_std, exposure)
+
+
+def _sensor_model(img: np.ndarray, t: float, rng: np.random.RandomState,
+                  noise_std: float, exposure: bool) -> np.ndarray:
+    """Exposure drift + vignetting + sensor noise + 8-bit quantization
+    (shared by the numpy and XLA raycast backends)."""
+    H, W = img.shape
     if exposure:
         gain = 1.0 + 0.10 * math.sin(0.45 * t + 0.7)
         yy = (np.arange(H, dtype=np.float32) - H / 2) / (H / 2)
@@ -333,6 +343,74 @@ def render(planes, rays_cam: np.ndarray, R_wc: np.ndarray, o_w: np.ndarray,
         img = img + rng.randn(H, W).astype(np.float32) * noise_std
     # sensor quantization
     return np.clip(img, 0, 255).astype(np.uint8).astype(np.float32)
+
+
+def make_raycaster_jax(planes, rays_cam: np.ndarray, ss: int = 1):
+    """Compile the per-frame raycast as ONE XLA program (multithreaded on CPU,
+    MXU-free but gather-heavy; ~6x the numpy path on an 8-vCPU host).  The
+    plane loop is unrolled in the jaxpr with each texture as a constant, so
+    semantics match ``render`` exactly: closest positive hit wins, bilinear
+    texture sampling, box pixel integration over the ss x ss subgrid."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W, _ = rays_cam.shape
+    rays = jnp.asarray(rays_cam.reshape(-1, 3))
+    geo = []
+    for pl in planes:
+        geo.append(
+            (
+                jnp.asarray(pl.p0),
+                jnp.asarray(pl.e1),
+                jnp.asarray(pl.e2),
+                jnp.asarray(pl.normal),
+                float(np.dot(pl.e1, pl.e1)),
+                float(np.dot(pl.e2, pl.e2)),
+                jnp.asarray(pl.tex),
+            )
+        )
+
+    @jax.jit
+    def run(R_wc, o_w):
+        d = rays @ R_wc.T  # [N,3] world-frame ray directions
+        best_tt = jnp.full((rays.shape[0],), jnp.inf, jnp.float32)
+        best_val = jnp.full((rays.shape[0],), 25.0, jnp.float32)
+        for p0, e1, e2, n, e1sq, e2sq, tex in geo:
+            denom = d @ n
+            tnum = jnp.dot(p0 - o_w, n)
+            tt = tnum / denom
+            rel = o_w - p0
+            a = (jnp.dot(rel, e1) + tt * (d @ e1)) / e1sq
+            b = (jnp.dot(rel, e2) + tt * (d @ e2)) / e2sq
+            ok = (
+                (jnp.abs(denom) > 1e-9)
+                & (tt > 0.05)
+                & (tt < best_tt)
+                & (a >= 0) & (a < 1) & (b >= 0) & (b < 1)
+            )
+            th, tw = tex.shape
+            fu = jnp.clip(a, 0.0, 1.0) * (tw - 1)
+            fv = jnp.clip(b, 0.0, 1.0) * (th - 1)
+            u0 = fu.astype(jnp.int32)
+            v0 = fv.astype(jnp.int32)
+            u1 = jnp.minimum(u0 + 1, tw - 1)
+            v1 = jnp.minimum(v0 + 1, th - 1)
+            au = fu - u0
+            av = fv - v0
+            val = (
+                tex[v0, u0] * (1 - au) * (1 - av)
+                + tex[v0, u1] * au * (1 - av)
+                + tex[v1, u0] * (1 - au) * av
+                + tex[v1, u1] * au * av
+            )
+            best_val = jnp.where(ok, val, best_val)
+            best_tt = jnp.where(ok, tt, best_tt)
+        img = best_val.reshape(H, W)
+        if ss > 1:
+            img = img.reshape(H // ss, ss, W // ss, ss).mean(axis=(1, 3))
+        return img
+
+    return run
 
 
 # ---------------------------------------------------------------- sequence ----
@@ -349,6 +427,8 @@ class RenderedSequence:
     cam: CameraConfig = field(default_factory=CameraConfig)
     noise_std: float = 2.0
     supersample: int = 2      # rendering anti-aliasing factor
+    backend: str = "jax"             # jax (XLA raycast) | numpy
+    cache_dir: Optional[str] = None  # per-frame u8 cache (CI re-runs are free)
     _cache: dict = field(default_factory=dict, repr=False)
 
     def _setup(self):
@@ -368,16 +448,48 @@ class RenderedSequence:
             self._cache["rays"] = pixel_rays(self.cam, ss=self.supersample)
         return self._cache["planes"], self._cache["traj"], self._cache["rays"]
 
-    def frames(self, start: float = 0.0, limit: Optional[int] = None) -> Iterator[EurocFrame]:
+    def _cache_path(self, i: int) -> Optional[str]:
+        if self.cache_dir is None:
+            return None
+        key = (f"{self.world}-s{self.seed}-n{self.n_frames}"
+               f"-sp{self.span[0]:g}-{self.span[1]:g}-ss{self.supersample}"
+               f"-ns{self.noise_std:g}")
+        d = os.path.join(self.cache_dir, key)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{i:05d}.npy")
+
+    def _frame_rng(self, i: int) -> np.random.RandomState:
+        return np.random.RandomState((self.seed + 991) * 1000003 + i)
+
+    def render_frame(self, i: int) -> np.ndarray:
+        """[H,W] float32 frame i (cached on disk when cache_dir is set)."""
+        path = self._cache_path(i)
+        if path is not None and os.path.exists(path):
+            return np.load(path).astype(np.float32)
         planes, traj, rays = self._setup()
-        rng = np.random.RandomState(self.seed + 991)
-        n = 0
-        for t, o, R_wc in traj:
-            if t < start:
-                continue
+        t, o, R_wc = traj[i]
+        rng = self._frame_rng(i)
+        if self.backend == "jax":
+            if "raycast" not in self._cache:
+                self._cache["raycast"] = make_raycaster_jax(
+                    planes, rays, ss=self.supersample
+                )
+            core = np.asarray(self._cache["raycast"](R_wc, o))
+            img = _sensor_model(core, t, rng, self.noise_std, exposure=True)
+        else:
             img = render(planes, rays, R_wc, o, rng, t=t,
                          noise_std=self.noise_std, ss=self.supersample)
-            yield EurocFrame(timestamp=t, image=img)
+        if path is not None:
+            np.save(path, img.astype(np.uint8))
+        return img
+
+    def frames(self, start: float = 0.0, limit: Optional[int] = None) -> Iterator[EurocFrame]:
+        _, traj, _ = self._setup()
+        n = 0
+        for i, (t, o, R_wc) in enumerate(traj):
+            if t < start:
+                continue
+            yield EurocFrame(timestamp=t, image=self.render_frame(i))
             n += 1
             if limit is not None and n >= limit:
                 return
@@ -392,10 +504,30 @@ class RenderedSequence:
         _, traj, _ = self._setup()
         ts = np.asarray([t for t, _, _ in traj])
         pos = np.stack([o for _, o, _ in traj]).astype(np.float32)
-        quat = np.zeros((len(traj), 4), np.float32)
-        for i, (_, _, R) in enumerate(traj):
-            w = math.sqrt(max(1 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12)) / 2
-            quat[i] = [w, (R[2, 1] - R[1, 2]) / (4 * w),
-                       (R[0, 2] - R[2, 0]) / (4 * w),
-                       (R[1, 0] - R[0, 1]) / (4 * w)]
+        quat = np.stack([rot_to_quat_wxyz(R) for _, _, R in traj]).astype(np.float32)
         return ts, pos, quat
+
+
+def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Numerically stable rotation->quaternion (w,x,y,z): Shepperd's method,
+    branching on the largest of (w,x,y,z) so no division approaches 0/0.
+    The w-only formula degenerates when trace(R) -> -1 (yaw near pi, hit on
+    every lap of the loop world)."""
+    m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
+    m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
+    m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    scores = [tr, m00 - m11 - m22, m11 - m00 - m22, m22 - m00 - m11]
+    k = int(np.argmax(scores))
+    s = 2.0 * math.sqrt(max(1.0 + scores[k], 1e-12))
+    if k == 0:
+        q = [s / 4, (m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s]
+    elif k == 1:
+        q = [(m21 - m12) / s, s / 4, (m01 + m10) / s, (m02 + m20) / s]
+    elif k == 2:
+        q = [(m02 - m20) / s, (m01 + m10) / s, s / 4, (m12 + m21) / s]
+    else:
+        q = [(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, s / 4]
+    q = np.asarray(q, np.float64)
+    q /= np.linalg.norm(q)
+    return q if q[0] >= 0 else -q

@@ -122,7 +122,7 @@ def triangulate(P1, P2, p1, p2):
     return X[..., :3] / w_safe[..., None]
 
 
-def _check_rt(R, t, p1, p2, valid, K, sigma2: float = 1.0, th2: float = 16.0):
+def _check_rt(R, t, p1, p2, valid, K, sigma2: float = 1.0, th2: float = 4.0):
     """CheckRT: triangulate under (R, t) and count points passing depth /
     parallax / reprojection gates.  Returns (n_good, good_mask, X, parallax)."""
     P1 = K @ jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
@@ -148,22 +148,31 @@ def _check_rt(R, t, p1, p2, valid, K, sigma2: float = 1.0, th2: float = 16.0):
     e1 = (u1 - p1[:, 0]) ** 2 + (v1 - p1[:, 1]) ** 2
     e2 = (u2 - p2[:, 0]) ** 2 + (v2 - p2[:, 1]) ** 2
 
-    good = (
+    # Reference semantics (Initializer::CheckRT, :794): a near-zero-parallax
+    # point (cos >= 0.99998) is COUNTED toward nGood regardless of depth sign
+    # (its depth is unobservable so the model isn't penalized), but is never
+    # promoted to a landmark (vbGood needs parallax AND positive depths).
+    low_par = cos_par >= 0.99998
+    counted = (
         valid
         & finite
-        & (z1 > 0)
-        & (z2 > 0)
-        & (cos_par < 0.99998)
+        & ((z1 > 0) | low_par)
+        & ((z2 > 0) | low_par)
         & (e1 < th2 * sigma2)
         & (e2 < th2 * sigma2)
     )
-    # parallax statistic: ~50th-largest-good parallax angle (reference takes
-    # the 50th-smallest cos); approximate with the median over good points
-    par_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_par, -1.0, 1.0)))
-    par_sorted = jnp.sort(jnp.where(good, par_deg, 0.0))
-    idx = jnp.clip(par_sorted.shape[0] - jnp.sum(good) // 2, 0, par_sorted.shape[0] - 1)
-    parallax = par_sorted[idx]
-    return jnp.sum(good), good, X, parallax
+    good = counted & ~low_par
+    # parallax statistic: the reference sorts counted cosines ascending and
+    # takes index min(50, n-1) — the ~50th LARGEST parallax angle
+    cos_sorted = jnp.sort(jnp.where(counted, cos_par, 2.0))
+    n_counted = jnp.sum(counted)
+    idx = jnp.clip(jnp.minimum(50, n_counted - 1), 0, cos_sorted.shape[0] - 1)
+    parallax = jnp.where(
+        n_counted > 0,
+        jnp.degrees(jnp.arccos(jnp.clip(cos_sorted[idx], -1.0, 1.0))),
+        0.0,
+    )
+    return jnp.sum(counted), good, X, parallax
 
 
 def _decompose_e(E):
@@ -298,7 +307,11 @@ def initialize_two_view(
 
     n_inl = jnp.sum(inl)
     n_min_good = jnp.maximum(jnp.int32(0.9 * n_inl), min_triangulated)
-    n_similar = jnp.sum(n_good > 0.7 * max_good)
+    # ambiguity: another candidate with a comparable count is only a genuine
+    # competing RECONSTRUCTION if it also exhibits observable parallax — a
+    # rotation-only interpretation (points at quasi-infinity, parallax ~0)
+    # must not veto a well-conditioned best candidate
+    n_similar = jnp.sum((n_good > 0.7 * max_good) & (par > min_parallax_deg))
     success = (
         (max_good >= n_min_good) & (n_similar == 1) & (par[best] > min_parallax_deg)
     )
