@@ -72,6 +72,9 @@ class Server:
     # GBA scheduling state
     gba_dirty: Dict[int, bool] = field(default_factory=dict)
     gba_progress: Dict[int, int] = field(default_factory=dict)
+    # LM carry (lam, CG warm start, entry cost) across interruptible chunks:
+    # dropped whenever the slot's problem changes so chunked == monolithic
+    gba_state: Dict[int, object] = field(default_factory=dict)
     final_gba_done: Dict[int, bool] = field(default_factory=dict)
     quiescence_steps: int = 30
     gba_chunk_iters: int = 2
@@ -148,6 +151,7 @@ class Server:
             ag.finished = False
             # fresh data preempts a running (non-final) GBA: INTERRUPTBA
             self.gba_progress[slot] = 0
+            self.gba_state.pop(slot, None)
             self.final_gba_done[slot] = False
 
         kfb = msg.kfs
@@ -330,6 +334,7 @@ class Server:
             # server keyframe redundancy culling (KeyFrameCullingV3 gate)
             m, _ = mapping_mod.cull_redundant_keyframes(m, self.cfg)
         self.maps[slot] = m
+        self.gba_state.pop(slot, None)  # problem changed: carried LM state is stale
         # intra-map loop closure
         m2, closed = self.finders[slot].try_close(m, new_kf_arena)
         self.maps[slot] = m2
@@ -383,22 +388,38 @@ class Server:
 
     # ------------------------------------------------------------------- GBA
 
-    def _run_gba(self, slot: int, iters: int, with_stats: bool = True):
+    def _run_gba(self, slot: int, iters: int, with_stats: bool = True,
+                 carry: bool = False):
+        """One GBA invocation for a map slot.  ``carry=True`` (interruptible
+        chunks) threads the per-slot LM state (lam, CG warm start, entry
+        cost) so the chunked schedule lands on the monolithic optimum; the
+        state is dropped by every mutation path (ingest/mapping/merge) and on
+        arena growth (shape change)."""
         m = self.maps[slot]
         alive = m.kfs.valid & ~m.kfs.bad
         order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
         oldest2 = jnp.argsort(order)[:2]
         fixed = jnp.zeros((m.kfs.capacity,), bool).at[oldest2].set(True)
         prob = build_ba_problem(m, self.cam, fixed_mask=fixed)
+        state = self.gba_state.get(slot) if carry else None
+        if state is not None and state[1].shape[0] != prob.R.shape[0]:
+            state = None  # arena grew between chunks
         if self.mesh is not None:
             from ..parallel import dist_ba
 
             probs = dist_ba.shard_problem(prob, self.mesh)
-            R, t, X, cost = dist_ba.dist_ba_solve(probs, self.mesh, iters=iters)
-        else:
-            R, t, X, cost, n_good = ba.ba_solve(
-                prob, iters=iters, with_stats=with_stats
+            R, t, X, cost, new_state = dist_ba.dist_ba_solve(
+                probs, self.mesh, iters=iters, state=state, return_state=True
             )
+        else:
+            R, t, X, cost, n_good, new_state = ba.ba_solve(
+                prob, iters=iters, with_stats=with_stats,
+                state=state, return_state=True,
+            )
+        if carry:
+            self.gba_state[slot] = new_state
+        else:
+            self.gba_state.pop(slot, None)
         self.maps[slot] = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
         return float(cost)
 
@@ -427,8 +448,11 @@ class Server:
                 self.gba_dirty[slot] = False
                 continue
             if self.gba_dirty[slot] and self.gba_progress[slot] < self.gba_total_iters:
-                # interruptible chunk (stats only on the final GBA)
-                self._run_gba(slot, iters=self.gba_chunk_iters, with_stats=False)
+                # interruptible chunk (stats only on the final GBA); the LM
+                # state carries across chunks while the problem is unchanged
+                self._run_gba(
+                    slot, iters=self.gba_chunk_iters, with_stats=False, carry=True
+                )
                 self.gba_progress[slot] += self.gba_chunk_iters
                 if self.gba_progress[slot] >= self.gba_total_iters:
                     self.gba_dirty[slot] = False

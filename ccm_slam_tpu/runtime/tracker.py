@@ -254,9 +254,14 @@ class Tracker:
             TrajectoryEntry(float(tracked.timestamp), tracked.R_cw, tracked.t_cw)
         )
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cpp:662); the baseline
-        # is the ref KF's landmarks with >= 2 observations
-        # (KeyFrame::TrackedMapPoints(2) in the reference)
+        # keyframe decision (NeedNewKeyFrame, Tracking.cpp:662-708): the
+        # reference requires (c1a || c1b) && c2 where c2 = tracking weakened
+        # vs the ref KF's mature landmarks (TrackedMapPoints(minObs), minObs=3
+        # once the map has >2 KFs — fresh 2-obs triangulations don't count).
+        # Our mapping runs synchronously so "local mapping idle" is always
+        # true: with MinFrames=0, c1b holds every frame and the decision
+        # reduces to c2 (a KF on every weakening, never while strong).
+        min_obs = 2 if self.kfs_since_init + 2 <= 2 else 3
         ref_assoc = self.map.kfs.mp_idx[self.ref_kf]
         ref_mp = jnp.clip(ref_assoc, 0, self.map.mps.capacity - 1)
         ref_n = int(
@@ -264,12 +269,14 @@ class Tracker:
                 (ref_assoc >= 0)
                 & self.map.mps.valid[ref_mp]
                 & ~self.map.mps.bad[ref_mp]
-                & (self.map.mps.obs_n[ref_mp] >= 2)
+                & (self.map.mps.obs_n[ref_mp] >= min_obs)
             )
         )
-        need = self.frames_since_kf >= t.max_frames or (
-            n_inliers < ref_n * t.th_ref_ratio and n_inliers > t.matches_inliers_thres
-        )
+        c1 = self.frames_since_kf >= t.min_frames
+        c2 = n_inliers < ref_n * t.th_ref_ratio and n_inliers > t.matches_inliers_thres
+        need = c1 and c2
+        self.stats["last_ref_n"] = ref_n
+        self.stats["last_inliers"] = n_inliers
         if need and int(self.map.next_kf) < self.cfg.capacity.client_max_kfs - 1:
             self._create_keyframe(tracked)
         return tracked

@@ -424,16 +424,20 @@ def _solve_schur_pcg(prob: BAProblem, U, V, W, g_c, g_p, ci, lam,
 
 
 @partial(jax.jit, static_argnames=("iters", "huber_delta", "cg_iters",
-                                   "pcg_backend", "with_stats"))
+                                   "pcg_backend", "with_stats", "return_state"))
 def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
              cg_iters: int = 16, pcg_backend: str = "auto",
-             with_stats: bool = True):
-    """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs).
+             with_stats: bool = True, state=None, return_state: bool = False):
+    """Run `iters` LM iterations. Returns (R, t, X, final_cost, n_good_obs),
+    plus the LM carry state when ``return_state=True``.
 
     Interruptibility contract (the reference's INTERRUPTBA / stop-flag,
-    cslam/src/Optimizer.cpp:686-687): call with a small `iters` chunk, check
-    for fresh data on the host, and re-invoke with the returned state — each
-    chunk is one compiled, resumable unit.
+    cslam/src/Optimizer.cpp:686-687): call with a small `iters` chunk and
+    ``return_state=True``, check for fresh data on the host, and re-invoke
+    passing the returned ``state`` — lam, the CG warm start and the entry
+    cost carry over, so a chunked solve follows the same LM trajectory as a
+    monolithic one.  ``state`` must be discarded whenever the problem
+    changes between chunks (the carried cost would be stale).
 
     ``cg_iters`` caps the inner PCG solve: LM with truncated (inexact-Newton)
     steps converges identically here because every step is accept/reject
@@ -534,10 +538,17 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         dc_prev = jnp.where(finite, delta_c, jnp.zeros_like(delta_c))
         return (R, t, X, lam, cost, dc_prev), cost_new
 
-    cost0 = cost_fn(prob.R, prob.t, prob.X)
-    dc0 = jnp.zeros((C, 6), jnp.float32)
-    (R, t, X, _, final_cost, _), costs = jax.lax.scan(
-        lm_iter, (prob.R, prob.t, prob.X, jnp.float32(1e-4), cost0, dc0), None,
+    if state is None:
+        lam0 = jnp.float32(1e-4)
+        dc0 = jnp.zeros((C, 6), jnp.float32)
+        cost0 = cost_fn(prob.R, prob.t, prob.X)
+    else:
+        lam0, dc0, cost_in = state
+        cost0 = jnp.where(
+            jnp.isfinite(cost_in), cost_in, cost_fn(prob.R, prob.t, prob.X)
+        )
+    (R, t, X, lam_f, final_cost, dc_f), costs = jax.lax.scan(
+        lm_iter, (prob.R, prob.t, prob.X, lam0, cost0, dc0), None,
         length=iters,
     )
     # the carried cost IS the exact cost of the accepted final state — no
@@ -553,6 +564,8 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
         n_good = jnp.sum((chi2 <= reproj.CHI2_MONO) & valid)
     else:
         n_good = jnp.int32(-1)
+    if return_state:
+        return R, t, X, final_cost, n_good, (lam_f, dc_f, final_cost)
     return R, t, X, final_cost, n_good
 
 
