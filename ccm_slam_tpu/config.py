@@ -63,6 +63,10 @@ class MappingConfig:
     local_map_buffer: int = 20     # Mapping.LocalMapBuffer
     recent_kf_window: int = 20     # Mapping.RecentKFWindow
     red_thres: float = 0.98        # Mapping.RedThres (KF redundancy culling)
+    # TPU-native addition: after local BA, re-run fuse on the refined
+    # geometry and (if anything fused) a short second BA.  Quality knob
+    # beyond the reference's single pass; costs a second fuse+BA per KF.
+    second_fuse_pass: bool = True
 
 
 @dataclass(frozen=True)
@@ -184,6 +188,45 @@ KITTI_CAMERA = CameraConfig(
     t_sc=((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
           (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0)),
 )
+
+
+def scaled_camera(base: CameraConfig = None, factor: float = 0.5) -> CameraConfig:
+    """The EuRoC camera at a reduced resolution: focal lengths and principal
+    point scale with the pixel grid; the radtan coefficients act on
+    NORMALIZED coordinates and are resolution-invariant."""
+    base = base or CameraConfig()
+    return dataclasses.replace(
+        base,
+        width=int(round(base.width * factor)),
+        height=int(round(base.height * factor)),
+        fx=base.fx * factor, fy=base.fy * factor,
+        # pixel centers: u' = (u + 0.5)*f - 0.5
+        cx=(base.cx + 0.5) * factor - 0.5,
+        cy=(base.cy + 0.5) * factor - 0.5,
+    )
+
+
+def rendered_ci_config(factor: float = 0.4) -> SystemConfig:
+    """Reduced-scale config for the rendered-pixels CI accuracy gates: the
+    full pipeline semantics (multi-octave pyramid, real radtan camera, real
+    BRIEF matching) at a resolution and arena capacity an 8-vCPU CI host can
+    carry through tracking + mapping + GBA in minutes instead of hours.
+    Full-resolution (752x480) numbers are measured on the TPU chip via
+    ``scripts/run_euroc.py --dataset rendered`` and recorded in BASELINE.md."""
+    return SystemConfig(
+        extractor=ExtractorConfig(n_features=400, n_levels=5, cell_size=16),
+        camera=scaled_camera(factor=factor),
+        mapping=MappingConfig(second_fuse_pass=False),
+        capacity=CapacityConfig(
+            max_keypoints=512,
+            client_max_kfs=48,
+            client_max_mps=6144,
+            server_max_kfs=160,
+            server_max_mps=16384,
+            max_obs_per_mp=16,
+            covis_neighbors=16,
+        ),
+    )
 
 
 def tiny_test_config() -> SystemConfig:

@@ -41,6 +41,10 @@ from .euroc import EurocFrame
 
 # --------------------------------------------------------------- textures ----
 
+# bump when the procedural texture generation changes: invalidates the
+# on-disk frame cache (the cache key cannot hash the generator itself)
+TEXTURE_VERSION = 2
+
 
 def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
     """Separable box blur via cumulative sums (no scipy)."""
@@ -56,29 +60,42 @@ def _box_blur(img: np.ndarray, k: int) -> np.ndarray:
 
 
 def make_texture(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
-    """[h,w] float32 grayscale 0..255 with corners at many scales: smooth
-    base noise + high-contrast rectangles/discs from 8 px up to 1/4 extent."""
+    """[h,w] float32 grayscale 0..255 with corners at MANY scales: smooth
+    base noise + high-contrast rectangles/discs from 2 px up to 1/4 extent.
+
+    The fine (2-12 px) generation matters most: surfaces closest to the
+    camera are magnified the most and carry the strongest parallax, so they
+    must still show detectable corners — a texture whose smallest feature is
+    ~8 px turns into featureless flats (floor/ceiling) or one-directional
+    streaks (grazing walls) exactly where tracking needs anchors."""
     base = rng.uniform(70, 150, (max(h // 32, 2), max(w // 32, 2))).astype(np.float32)
     base = np.kron(base, np.ones((32, 32), np.float32))[:h, :w]
     if base.shape != (h, w):
         base = np.pad(base, ((0, h - base.shape[0]), (0, w - base.shape[1])), mode="edge")
     base = _box_blur(base, 17)
     tex = base
-    # rectangles: most features; sizes span the pyramid's scale range
-    n_rect = max(20, (h * w) // 1800)
-    ys = rng.randint(0, h, n_rect)
-    xs = rng.randint(0, w, n_rect)
-    sy = rng.randint(6, max(8, h // 4), n_rect)
-    sx = rng.randint(6, max(8, w // 4), n_rect)
-    dv = rng.uniform(-90, 90, n_rect)
-    dv = np.sign(dv) * np.maximum(np.abs(dv), 35)  # never low-contrast
-    for i in range(n_rect):
-        y0, x0 = ys[i], xs[i]
-        y1, x1 = min(h, y0 + sy[i]), min(w, x0 + sx[i])
-        tex[y0:y1, x0:x1] += dv[i]
+
+    def splat_rects(n_rect, smin, smax, vmin, vmax):
+        ys = rng.randint(0, h, n_rect)
+        xs = rng.randint(0, w, n_rect)
+        sy = rng.randint(smin, smax, n_rect)
+        sx = rng.randint(smin, smax, n_rect)
+        dv = rng.uniform(-vmax, vmax, n_rect)
+        dv = np.sign(dv) * np.maximum(np.abs(dv), vmin)  # never low-contrast
+        for i in range(n_rect):
+            y0, x0 = ys[i], xs[i]
+            y1, x1 = min(h, y0 + sy[i]), min(w, x0 + sx[i])
+            tex[y0:y1, x0:x1] += dv[i]
+
+    # coarse rectangles: sizes span the pyramid's scale range
+    splat_rects(max(20, (h * w) // 1800), 6, max(8, min(h, w) // 4), 35, 90)
+    # fine rectangles: near-field detail (2-12 px; dense enough that a
+    # close-up patch of a few hundred texels still has several corners)
+    splat_rects(max(40, (h * w) // 350), 2, 12, 25, 60)
     # a few discs for non-axis-aligned gradients
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    for _ in range(max(4, n_rect // 12)):
+    n_disc = max(4, (h * w) // 21600)
+    for _ in range(n_disc):
         cy, cx = rng.randint(0, h), rng.randint(0, w)
         r = rng.randint(8, max(10, min(h, w) // 5))
         dvv = rng.uniform(35, 80) * rng.choice([-1, 1])
@@ -453,7 +470,7 @@ class RenderedSequence:
             return None
         key = (f"{self.world}-s{self.seed}-n{self.n_frames}"
                f"-sp{self.span[0]:g}-{self.span[1]:g}-ss{self.supersample}"
-               f"-ns{self.noise_std:g}")
+               f"-ns{self.noise_std:g}-w{self.cam.width}-tv{TEXTURE_VERSION}")
         d = os.path.join(self.cache_dir, key)
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{i:05d}.npy")

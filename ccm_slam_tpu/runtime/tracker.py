@@ -193,16 +193,19 @@ class Tracker:
         n_inliers = 0
         tracked = None
 
+        self.stats["path"] = "none"
         if self.has_velocity:
             f2, n_match, n_in = tracking.track_with_motion_model(
                 self.map, frame, self.last_frame, self.vel_R, self.vel_t, self.cam, cfg
             )
+            self.stats["path"] = "mm"
             if int(n_match) < t.motion_model_inlier_thres_search:
                 # widen the window once (reference retries with th*2)
                 f2, n_match, n_in = tracking.track_with_motion_model(
                     self.map, frame, self.last_frame, self.vel_R, self.vel_t,
                     self.cam, cfg, window_factor=2.0,
                 )
+                self.stats["path"] = "mm2"
             # BOTH gates must pass — a near-threshold inlier count on too few
             # matches means the prediction is off; fall back to the reference
             # keyframe instead of committing to a weak pose
@@ -212,6 +215,8 @@ class Tracker:
             ):
                 tracked = f2
                 n_inliers = int(n_in)
+            self.stats["mm_n_match"] = int(n_match)
+            self.stats["mm_n_in"] = int(n_in)
 
         if tracked is None:
             # fall back to reference-KF tracking from the last pose
@@ -221,6 +226,9 @@ class Tracker:
             f2, n_match, n_in = tracking.track_reference_kf(
                 self.map, frame_init, jnp.int32(self.ref_kf), self.cam, cfg
             )
+            self.stats["path"] = self.stats["path"] + "+ref"
+            self.stats["ref_n_match"] = int(n_match)
+            self.stats["ref_n_in"] = int(n_in)
             if int(n_match) >= t.ref_kf_inlier_thres_search and int(n_in) >= t.ref_kf_inlier_thres_opt:
                 tracked = f2
                 n_inliers = int(n_in)
@@ -233,10 +241,12 @@ class Tracker:
         # pose (the multi-octave reference gets this leniency from its coarse
         # pyramid levels; a single re-search restores dropped associations)
         self.map, f3, n_in3 = tracking.track_local_map(self.map, tracked, self.cam, cfg)
+        self.stats["lm_n_in_a"] = int(n_in3)
         if int(n_in3) < max(t.local_map_inlier_thres, 0.5 * self.prev_inliers):
             self.map, f3b, n_in3b = tracking.track_local_map(
                 self.map, f3, self.cam, cfg, window_factor=3.0
             )
+            self.stats["path"] = self.stats["path"] + "+wide"
             if int(n_in3b) > int(n_in3):
                 f3, n_in3 = f3b, n_in3b
         if int(n_in3) < t.matches_inliers_thres:
@@ -306,14 +316,15 @@ class Tracker:
             if self.enable_trimming:
                 self.map, _ = mapping.trim_keyframes(self.map, cfg)
             self.map, cost, n_good = mapping.local_ba(self.map, jnp.int32(k), self.cam, cfg)
-            # second fuse pass on the refined geometry: landmarks whose
-            # depth error pushed them outside the tight pre-BA fuse window
-            # get re-observed in the new KF, then a short BA refines them
-            self.map, n_re, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
-            if int(n_re) > 0:
-                self.map, cost, n_good = mapping.local_ba(
-                    self.map, jnp.int32(k), self.cam, cfg, iters=8
-                )
+            if cfg.mapping.second_fuse_pass:
+                # second fuse pass on the refined geometry: landmarks whose
+                # depth error pushed them outside the tight pre-BA fuse window
+                # get re-observed in the new KF, then a short BA refines them
+                self.map, n_re, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+                if int(n_re) > 0:
+                    self.map, cost, n_good = mapping.local_ba(
+                        self.map, jnp.int32(k), self.cam, cfg, iters=8
+                    )
             # NOTE: the tracked frame keeps its tracking pose (the reference
             # does the same — frames are never rewritten by BA); rewriting it
             # desynchronizes the constant-velocity model from the pose it was

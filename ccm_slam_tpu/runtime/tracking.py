@@ -115,10 +115,36 @@ def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cf
     R_b, t_b, X_b, cost, n_ba = ba.ba_solve(prob, iters=20)
     m = apply_ba_result(m, R_b, t_b, X_b, jnp.ones(cap.client_max_kfs, bool))
 
+    # Post-BA depth/parallax hygiene.  Points that barely passed CheckRT's
+    # parallax gate have quasi-unobservable depth; the 2-view BA can push
+    # them to near-infinity where they survive every later chi2 gate (any
+    # translation projects them identically) and anchor the pose optimizer
+    # to rotation-only solutions.  The reference is exposed to the same
+    # failure (Initializer.cpp:794 gates pre-BA only) but its evaluation
+    # scenes are depth-bounded; long sight-lines (corridors) need the
+    # post-BA re-gate.
+    alive = m.mps.valid & ~m.mps.bad
+    O1 = -(m.kfs.R_cw[k1].T @ m.kfs.t_cw[k1])
+    ray0 = m.mps.pos
+    ray1 = m.mps.pos - O1
+    cosp = jnp.sum(ray0 * ray1, -1) / jnp.clip(
+        jnp.linalg.norm(ray0, axis=-1) * jnp.linalg.norm(ray1, axis=-1), 1e-12
+    )
+    z0 = m.mps.pos[:, 2]  # KF0 is the identity: depth == z
+    medz = jnp.nanmedian(jnp.where(alive, z0, jnp.nan))
+    medz = jnp.where(jnp.isfinite(medz) & (medz > 0), medz, 1.0)
+    junk = alive & ((cosp > 0.99997) | (z0 > 8.0 * medz) | (z0 <= 0))
+    m = ms.erase_mappoints(m, junk)
+    n_new = jnp.sum(alive & ~junk)
+
     # frames updated
-    f_ref2 = f_ref.replace(R_cw=jnp.eye(3), t_cw=jnp.zeros(3), mp=mp_idx)
+    mp_idx2 = jnp.where(junk[jnp.clip(mp_idx, 0, cap.client_max_mps - 1)] & (mp_idx >= 0),
+                        NO_MP, mp_idx)
+    assoc1b = jnp.where(junk[jnp.clip(assoc1, 0, cap.client_max_mps - 1)] & (assoc1 >= 0),
+                        NO_MP, assoc1)
+    f_ref2 = f_ref.replace(R_cw=jnp.eye(3), t_cw=jnp.zeros(3), mp=mp_idx2)
     f_cur2 = f_cur.replace(
-        R_cw=m.kfs.R_cw[k1], t_cw=m.kfs.t_cw[k1], mp=assoc1
+        R_cw=m.kfs.R_cw[k1], t_cw=m.kfs.t_cw[k1], mp=assoc1b
     )
     return m, f_ref2, f_cur2, out["success"], n_new
 
