@@ -16,6 +16,7 @@ every store needs a static bound for XLA.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 from dataclasses import dataclass, field
 
 
@@ -67,6 +68,13 @@ class MappingConfig:
     # geometry and (if anything fused) a short second BA.  Quality knob
     # beyond the reference's single pass; costs a second fuse+BA per KF.
     second_fuse_pass: bool = True
+    # windowed local-BA caps: the subproblem gathers the free covisibility
+    # neighborhood + its landmarks + anchor observers into fixed shapes so
+    # per-keyframe BA cost is independent of the arena size (the reference's
+    # local BA is likewise windowed, Optimizer.cpp:349-644).  Truncations
+    # are counted and surfaced by the callers (no silent caps).
+    local_ba_max_cams: int = 40
+    local_ba_max_points: int = 4096
 
 
 @dataclass(frozen=True)
@@ -156,6 +164,10 @@ class CapacityConfig:
     server_max_mps: int = 131072
     max_obs_per_mp: int = 32           # observation slots per landmark
     covis_neighbors: int = 32          # top-K covisibility neighbors kept dense
+    # dense id->arena translation tables for the batched ingest (the
+    # reference bounds kf ids to 2^16, estd.h:47; landmark ids are counters)
+    kf_id_space: int = 1 << 16
+    mp_id_space: int = 1 << 20
 
 
 @dataclass(frozen=True)
@@ -190,10 +202,11 @@ KITTI_CAMERA = CameraConfig(
 )
 
 
-def scaled_camera(base: CameraConfig = None, factor: float = 0.5) -> CameraConfig:
+def scaled_camera(base: Optional[CameraConfig] = None, factor: float = 0.5) -> CameraConfig:
     """The EuRoC camera at a reduced resolution: focal lengths and principal
     point scale with the pixel grid; the radtan coefficients act on
-    NORMALIZED coordinates and are resolution-invariant."""
+    NORMALIZED coordinates and are resolution-invariant.  Only the camera
+    intrinsics are scaled — grid/extractor geometry is left untouched."""
     base = base or CameraConfig()
     return dataclasses.replace(
         base,

@@ -470,7 +470,7 @@ class RenderedSequence:
             return None
         key = (f"{self.world}-s{self.seed}-n{self.n_frames}"
                f"-sp{self.span[0]:g}-{self.span[1]:g}-ss{self.supersample}"
-               f"-ns{self.noise_std:g}-w{self.cam.width}-tv{TEXTURE_VERSION}")
+               f"-ns{self.noise_std:g}-w{self.cam.width}x{self.cam.height}-tv{TEXTURE_VERSION}")
         d = os.path.join(self.cache_dir, key)
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{i:05d}.npy")

@@ -54,6 +54,31 @@ def add(db: KeyFrameDB, kf_idx, vector, map_id) -> KeyFrameDB:
     )
 
 
+@jax.jit
+def batch_vectors(vocab, kfs_desc, kfs_feat_valid, arenas):
+    """BoW vectors [B, W] for the keyframes at ``arenas`` (one compiled
+    gather + Hamming transform — compute once, scatter into every db)."""
+    safe_a = jnp.clip(arenas, 0, kfs_desc.shape[0] - 1)
+    vecs, _ = bow.transform_batch(vocab, kfs_desc[safe_a], kfs_feat_valid[safe_a])
+    return vecs
+
+
+@jax.jit
+def register_vectors(db: KeyFrameDB, rows, vecs, mask, map_id) -> KeyFrameDB:
+    """Masked batch registration of precomputed BoW vectors at db rows
+    ``rows`` — masked lanes are exact no-ops (delta-scatter discipline)."""
+    safe_r = jnp.clip(rows, 0, db.capacity - 1)
+    cur = db.vectors[safe_r]
+    dv = jnp.where(mask[:, None], vecs - cur, 0.0)
+    cur_m = db.map_id[safe_r]
+    dm = jnp.where(mask, map_id - cur_m, 0)
+    return db.replace(
+        vectors=db.vectors.at[safe_r].add(dv),
+        valid=db.valid.at[safe_r].max(mask),
+        map_id=db.map_id.at[safe_r].add(dm),
+    )
+
+
 def erase(db: KeyFrameDB, kf_mask) -> KeyFrameDB:
     return db.replace(valid=db.valid & ~kf_mask)
 
@@ -85,6 +110,19 @@ def regrid(db: KeyFrameDB, old_stride: int, new_stride: int, n_slots: int) -> Ke
         valid=out.valid.at[new_rows].set(db.valid),
         map_id=out.map_id.at[new_rows].set(db.map_id),
     )
+
+
+def _accumulate_covis_groups_nbr(scores, cand, nbr):
+    """Group accumulation from precomputed top-k neighbor LISTS [K, top_k]
+    (the sparse form — a dense [K,K] graph at the shared-db's global index
+    space would be hundreds of MB at stress scale)."""
+    K = scores.shape[0]
+    group = jnp.concatenate([jnp.arange(K)[:, None], nbr], axis=1)  # [K, top_k+1]
+    member_score = jnp.where(cand[group], scores[group], 0.0)
+    acc = jnp.sum(member_score, axis=1)
+    best_local = jnp.argmax(member_score, axis=1)
+    best_of_group = group[jnp.arange(K), best_local]
+    return acc, best_of_group
 
 
 def _accumulate_covis_groups(scores, cand, covis_W, top_k: int = 10):
@@ -148,17 +186,20 @@ def detect_map_match_candidates(
     db: KeyFrameDB,
     query_vec,
     query_map_id,
-    covis_W_global,
+    covis_nbr_global,
     min_score: float = 0.0,
 ):
     """Cross-map candidates: keyframes of OTHER maps only
     (DetectMapMatchCandidates; the associated-clients exclusion reduces to a
-    map-id check because merged maps share one map id here)."""
+    map-id check because merged maps share one map id here).
+
+    covis_nbr_global: [n, top_k] per-row top covisible neighbor indices in
+    the shared-db global index space (sparse — never a dense [n,n])."""
     scores = bow.score_against_database(query_vec, db.vectors, db.valid)
     K = scores.shape[0]
     eligible = db.valid & (db.map_id != query_map_id) & (db.map_id >= 0)
     cand = eligible & (scores > min_score)
-    acc, best_of_group = _accumulate_covis_groups(scores, cand, covis_W_global)
+    acc, best_of_group = _accumulate_covis_groups_nbr(scores, cand, covis_nbr_global)
     acc = jnp.where(cand, acc, -1.0)
     best_acc = jnp.max(acc)
     keep_group = cand & (acc >= 0.75 * best_acc) & (best_acc > 0)

@@ -233,6 +233,92 @@ def add_keyframe(
     return m, k
 
 
+def add_keyframes(
+    m: MapState,
+    kf_ids,        # [B]
+    client_ids,    # [B]
+    timestamps,    # [B]
+    R_cw,          # [B,3,3]
+    t_cw,          # [B,3]
+    xy,            # [B,N,2]
+    desc,          # [B,N,32]
+    octave,        # [B,N]
+    angle,         # [B,N]
+    feat_valid,    # [B,N]
+    mp_assoc,      # [B,N] landmark arena idx or NO_MP
+    new_valid,     # [B] which rows actually allocate
+) -> tuple[MapState, jnp.ndarray]:
+    """Batch-allocate keyframe slots (the [B]-row analogue of add_keyframe).
+
+    Masked rows write to the reserved last slot as exact no-ops (the arena
+    scatter discipline).  Reverse observations are registered for ALL rows at
+    once — per-landmark ranks make concurrent observations of the same
+    landmark from several new keyframes land in distinct obs slots.
+    Returns (map, arena_idx [B], -1 for masked rows)."""
+    B = kf_ids.shape[0]
+    K = m.kfs.capacity
+    offs = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
+    idx = jnp.where(new_valid, m.next_kf + offs, K - 1)
+    idx = jnp.clip(idx, 0, K - 1)
+    sel = new_valid
+
+    def _expand(mask, val):
+        return mask.reshape(mask.shape + (1,) * (val.ndim - mask.ndim))
+
+    kfs = m.kfs
+
+    def upd(field, val):
+        cur = field[idx]
+        delta = jnp.where(_expand(sel, val), val.astype(field.dtype) - cur,
+                          jnp.zeros_like(cur))
+        return field.at[idx].add(delta)
+
+    kfs = kfs.replace(
+        kf_id=upd(kfs.kf_id, kf_ids),
+        client_id=upd(kfs.client_id, client_ids),
+        timestamp=upd(kfs.timestamp, timestamps),
+        valid=kfs.valid.at[idx].max(sel),
+        bad=kfs.bad.at[idx].min(~sel),
+        insert_order=upd(kfs.insert_order, m.insert_counter + offs),
+        R_cw=upd(kfs.R_cw, R_cw),
+        t_cw=upd(kfs.t_cw, t_cw),
+        xy=upd(kfs.xy, xy),
+        desc=upd(kfs.desc, desc),
+        octave=upd(kfs.octave, octave),
+        angle=upd(kfs.angle, angle),
+        feat_valid=kfs.feat_valid.at[idx].max(_expand(sel, feat_valid) & feat_valid),
+        mp_idx=upd(kfs.mp_idx, mp_assoc),
+    )
+    n_new = jnp.sum(sel.astype(jnp.int32))
+    m = m.replace(kfs=kfs, next_kf=m.next_kf + n_new,
+                  insert_counter=m.insert_counter + n_new)
+
+    # reverse observations, flattened over [B*N] with per-landmark ranks
+    mps = m.mps
+    N = mp_assoc.shape[1]
+    flat_mp = jnp.where(sel[:, None], mp_assoc, NO_MP).reshape(-1)
+    has = flat_mp >= 0
+    target = jnp.where(has, flat_mp, 0)
+    # rank of each hit among all hits on the same landmark (stable order)
+    skey = jnp.where(has, target, jnp.int32(2**30))
+    order = jnp.argsort(skey, stable=True)
+    sorted_t = skey[order]
+    first = jnp.searchsorted(sorted_t, sorted_t, side="left")
+    rank_sorted = jnp.arange(B * N, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = jnp.zeros((B * N,), jnp.int32).at[order].set(rank_sorted)
+    slot = jnp.clip(mps.obs_n[target] + rank, 0, mps.max_obs - 1)
+    kf_of = jnp.broadcast_to(idx[:, None], (B, N)).reshape(-1)
+    feat_of = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N)).reshape(-1)
+    old_kf = mps.obs_kf[target, slot]
+    old_feat = mps.obs_feat[target, slot]
+    obs_kf = mps.obs_kf.at[target, slot].add(jnp.where(has, kf_of - old_kf, 0))
+    obs_feat = mps.obs_feat.at[target, slot].add(jnp.where(has, feat_of - old_feat, 0))
+    obs_n = mps.obs_n.at[target].add(jnp.where(has, 1, 0))
+    obs_n = jnp.minimum(obs_n, mps.max_obs)
+    m = m.replace(mps=mps.replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_n=obs_n))
+    return m, jnp.where(sel, idx, -1)
+
+
 def register_observations(m: MapState, kf_idx, mp_assoc) -> MapState:
     """Append (kf_idx, feat) to each associated landmark's reverse-obs table.
 
@@ -334,16 +420,57 @@ def covisibility_matrix(m: MapState) -> jnp.ndarray:
         & mps.valid[:, None]
         & ~mps.bad[:, None]
     )
-    # A [M,K]: landmark-by-keyframe incidence
     tgt = jnp.clip(mps.obs_kf, 0, K - 1)
-    A = jnp.zeros((mps.capacity, K), jnp.float32)
-    A = A.at[jnp.arange(mps.capacity)[:, None], tgt].add(slot_valid.astype(jnp.float32))
-    A = jnp.minimum(A, 1.0)
-    W = (A.T @ A).astype(jnp.int32)  # MXU: [K,K] shared-landmark counts
+    M = mps.capacity
+    # chunk the landmark axis: the [M,K] one-hot incidence would be ~0.5 GB
+    # at stress scale (K=1024, M=131k); a scan over landmark blocks keeps the
+    # intermediate at [B,K] while the MXU still sees big matmuls
+    B = 8192
+    n_blocks = max(1, (M + B - 1) // B)
+    pad = n_blocks * B - M
+    tgt_p = jnp.pad(tgt, ((0, pad), (0, 0)))
+    sv_p = jnp.pad(slot_valid, ((0, pad), (0, 0)))
+
+    def block(carry, inp):
+        tgt_b, sv_b = inp
+        A = jnp.zeros((B, K), jnp.float32)
+        A = A.at[jnp.arange(B)[:, None], tgt_b].add(sv_b.astype(jnp.float32))
+        A = jnp.minimum(A, 1.0)
+        return carry + A.T @ A, None
+
+    W, _ = jax.lax.scan(
+        block,
+        jnp.zeros((K, K), jnp.float32),
+        (tgt_p.reshape(n_blocks, B, O), sv_p.reshape(n_blocks, B, O)),
+    )
+    W = W.astype(jnp.int32)
     W = W - jnp.diag(jnp.diag(W))
     alive = m.kfs.valid & ~m.kfs.bad
     W = jnp.where(alive[:, None] & alive[None, :], W, 0)
     return W
+
+
+def covis_row(m: MapState, kf_idx) -> jnp.ndarray:
+    """One keyframe's covisibility row [K] without forming the full matrix:
+    the scalable query for vicinity packing / neighbor lookups
+    (KeyFrame::GetBestCovisibilityKeyFrames semantics)."""
+    kfs, mps = m.kfs, m.mps
+    K = kfs.capacity
+    O = mps.max_obs
+    # landmarks observed by kf_idx (via its forward links)
+    mp = kfs.mp_idx[kf_idx]
+    has = mp >= 0
+    mpc = jnp.clip(mp, 0, mps.capacity - 1)
+    sel = has & mps.valid[mpc] & ~mps.bad[mpc]
+    # their observing keyframes from the reverse table
+    obs_kf = mps.obs_kf[mpc]                       # [N,O]
+    ok = sel[:, None] & (jnp.arange(O)[None, :] < mps.obs_n[mpc][:, None]) & (obs_kf >= 0)
+    row = jnp.zeros((K,), jnp.int32).at[
+        jnp.clip(obs_kf, 0, K - 1).reshape(-1)
+    ].add(ok.reshape(-1).astype(jnp.int32))
+    row = row.at[kf_idx].set(0)
+    alive = kfs.valid & ~kfs.bad
+    return jnp.where(alive, row, 0)
 
 
 def covis_neighbors(W, kf_idx, top_k: int, min_weight: int = 15):
@@ -516,7 +643,7 @@ def rebuild_observations(m: MapState) -> MapState:
     )
 
 
-def replace_mappoints(m: MapState, loser, winner) -> MapState:
+def replace_mappoints(m: MapState, loser, winner, rebuild: bool = True) -> MapState:
     """Batched MapPoint::Replace: every forward link to ``loser[i]`` is
     redirected to ``winner[i]``, losers are marked bad, reverse tables are
     rebuilt.  loser/winner: [B] arena indices (entries with loser<0 ignored).
@@ -549,7 +676,10 @@ def replace_mappoints(m: MapState, loser, winner) -> MapState:
     new = jnp.where(dup, NO_MP, new)
     mps = m.mps.replace(bad=m.mps.bad.at[jnp.where(act, loser, 0)].max(act))
     m = m.replace(kfs=kfs.replace(mp_idx=new), mps=mps)
-    return rebuild_observations(m)
+    # callers batching several replaces may defer the (full-arena) reverse-
+    # table rebuild to the end of their pass — the forward/reverse invariant
+    # must hold again before the enclosing jit step returns
+    return rebuild_observations(m) if rebuild else m
 
 
 def compact_map(m: MapState) -> MapState:

@@ -88,6 +88,15 @@ def train_vocabulary(key, descs, valid, n_words: int = 1024, iters: int = 8) -> 
     return Vocabulary(words=words, idf=idf)
 
 
+@jax.jit
+def transform_batch(vocab: Vocabulary, descs, valid):
+    """Batched frame transform: descs [B,N,32], valid [B,N] -> vecs [B,W].
+
+    One compiled call for a whole keyframe batch (the ingest path registers
+    every new keyframe of a message at once)."""
+    return jax.vmap(transform, in_axes=(None, 0, 0))(vocab, descs, valid)
+
+
 def transform(vocab: Vocabulary, descs, valid):
     """Frame descriptors -> (bow [W] tf-idf L1-normalized, word_id [N]).
 

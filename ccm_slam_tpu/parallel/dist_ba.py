@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solvers import ba as ba_mod
 from ..solvers import reproj
-from ..utils.lie import se3_exp
+from ..utils.lie import orthonormalize, se3_exp
 
 
 def make_mesh(devices=None, axis: str = "mp"):
@@ -225,7 +225,7 @@ def dist_ba_solve(
             delta_p = jnp.where(prob_shard.point_valid[:, None], delta_p, 0.0)
 
             dR, dt = se3_exp(delta_c)
-            R_new = dR @ R
+            R_new = orthonormalize(dR @ R)  # keep the iterate on SO(3)
             t_new = (dR @ t[..., None])[..., 0] + dt
             X_new = X + delta_p
             cost_new = cost_at(R_new, t_new, X_new)
@@ -268,7 +268,7 @@ def dist_ba_solve(
             delta_p = jnp.where(prob_shard.point_valid[:, None], delta_p, 0.0)
 
             dR, dt = se3_exp(delta_c)
-            R_new = dR @ R
+            R_new = orthonormalize(dR @ R)  # keep the iterate on SO(3)
             t_new = (dR @ t[..., None])[..., 0] + dt
             X_new = X + delta_p
             cost_new = cost_at(R_new, t_new, X_new)

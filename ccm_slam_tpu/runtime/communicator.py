@@ -47,6 +47,12 @@ class KFMsgBatch:
     R_cpred: jnp.ndarray    # [B,3,3]
     t_cpred: jnp.ndarray    # [B,3]
     pred_kf_id: jnp.ndarray  # [B] (-1: none -> absolute pose in R_cpred)
+    # parent-reference alternative (KF.msg:32 mTcpar): lets the receiver
+    # reconstruct through the spanning-tree parent when the predecessor
+    # never arrives (KeyFrame.cpp:1857-1948 fallback chain)
+    R_cpar: jnp.ndarray     # [B,3,3]
+    t_cpar: jnp.ndarray     # [B,3]
+    par_kf_id: jnp.ndarray  # [B] (-1: none)
     # features (full only)
     xy: jnp.ndarray         # [B,N,2]
     desc: jnp.ndarray       # [B,N,32]
@@ -220,6 +226,22 @@ def publish_client(
     pred_arena = jnp.where(has_pred, pred_arena, -1)
     R_rel, t_rel = _relative_pose(m, kf_idx_j, pred_arena)
     pred_id = jnp.where(has_pred, ids[jnp.clip(pred_arena, 0, K - 1)], -1)
+    # parent alternative (mTcpar): spanning-tree parent, only when it has a
+    # smaller id than ours (the receiver's chains must stay acyclic) and is
+    # not the predecessor itself.  The tree is derived from covisibility at
+    # publish time (client arenas are small; the reference maintains it
+    # incrementally under locks, KeyFrame.cpp:715-741)
+    parent_derived = ms.spanning_tree(m, ms.covisibility_matrix(m))
+    par_arena = jnp.where(kfs.parent >= 0, kfs.parent, parent_derived)[kf_idx_j]
+    par_ok = (
+        (par_arena >= 0)
+        & alive_j[jnp.clip(par_arena, 0, K - 1)]
+        & (ids[jnp.clip(par_arena, 0, K - 1)] < own)
+        & (par_arena != pred_arena)
+    )
+    par_arena = jnp.where(par_ok, par_arena, -1)
+    R_par, t_par = _relative_pose(m, kf_idx_j, par_arena)
+    par_id = jnp.where(par_ok, ids[jnp.clip(par_arena, 0, K - 1)], -1)
 
     # landmark ids for associations
     assoc = kfs.mp_idx[kf_idx_j]  # [B,N]
@@ -235,6 +257,9 @@ def publish_client(
         R_cpred=R_rel,
         t_cpred=t_rel,
         pred_kf_id=pred_id,
+        R_cpar=R_par,
+        t_cpar=t_par,
+        par_kf_id=par_id,
         xy=kfs.xy[kf_idx_j],
         desc=kfs.desc[kf_idx_j],
         octave=kfs.octave[kf_idx_j],
@@ -333,83 +358,116 @@ def ingest_server_map(
     foreign_kf_table: dict,
     foreign_mp_table: dict,
 ):
-    """Client-side ingestion of server vicinity feedback
+    """Client-side ingestion of server vicinity feedback — batched
     (ProcessKfInClient/ProcessMpInClient, Communicator.cpp:730-1026):
     foreign keyframes/landmarks enter the client map with their original
     client ids (they are never re-sent and never become spanning parents).
 
+    Vicinity poses arrive absolute in the client gauge (pred_id == -1), so
+    unlike the server side no chain resolution is needed: known entities are
+    pose/position-updated with one scatter, unknown ones are allocated with
+    one ``ms.add_keyframes``/``ms.add_mappoints`` call.
+
     foreign_*_table: {(client_id, id) -> arena idx}, updated in place.
     Returns the updated map."""
     kfb = msg.kfs
-    for i in range(int(kfb.valid.shape[0])):
-        if not bool(kfb.valid[i]):
-            continue
-        cid = int(kfb.client_id[i])
-        kf_id = int(kfb.kf_id[i])
-        key = (cid, kf_id)
-        # vicinity poses arrive absolute in the client gauge (pred_id == -1)
-        T_R, T_t = kfb.R_cpred[i], kfb.t_cpred[i]
-        if key in foreign_kf_table:
-            k = foreign_kf_table[key]
-            m = m.replace(
-                kfs=m.kfs.replace(
-                    R_cw=m.kfs.R_cw.at[k].set(T_R),
-                    t_cw=m.kfs.t_cw.at[k].set(T_t),
-                    pose_version=m.kfs.pose_version.at[k].add(1),
-                )
-            )
-            continue
-        if int(m.next_kf) >= m.kfs.capacity - 1 or not bool(kfb.full[i]):
-            continue
-        assoc_ids = np.asarray(kfb.mp_assoc_id[i])
-        assoc = np.full(assoc_ids.shape[0], -1, np.int32)
-        for j, mid in enumerate(assoc_ids):
-            fk = (cid, int(mid))
-            if mid >= 0 and fk in foreign_mp_table:
-                assoc[j] = foreign_mp_table[fk]
-        m, k = ms.add_keyframe(
-            m, jnp.int32(kf_id), jnp.int32(cid), kfb.timestamp[i],
-            T_R, T_t, kfb.xy[i], kfb.desc[i], kfb.octave[i], kfb.angle[i],
-            kfb.feat_valid[i], jnp.asarray(assoc),
+    Bk = int(kfb.valid.shape[0])
+    K, M = m.kfs.capacity, m.mps.capacity
+    if Bk:
+        valid = np.asarray(kfb.valid)
+        cids = np.asarray(kfb.client_id)
+        ids = np.asarray(kfb.kf_id)
+        known = np.array(
+            [foreign_kf_table.get((int(c), int(i)), -1) for c, i in zip(cids, ids)],
+            np.int32,
         )
-        foreign_kf_table[key] = int(k)
+        full = np.asarray(kfb.full)
+        is_upd = valid & (known >= 0)
+        room = int(m.next_kf) + np.cumsum((valid & (known < 0) & full).astype(np.int64)) <= K - 1
+        is_new = valid & (known < 0) & full & room
+        # associations: foreign landmark ids -> arena (host dense table)
+        assoc_ids = np.asarray(kfb.mp_assoc_id)
+        assoc = np.full(assoc_ids.shape, -1, np.int32)
+        if foreign_mp_table:
+            for b in np.where(is_new)[0]:
+                cid = int(cids[b])
+                for j, mid in enumerate(assoc_ids[b]):
+                    if mid >= 0:
+                        assoc[b, j] = foreign_mp_table.get((cid, int(mid)), -1)
+        # one scatter for pose updates
+        ui = np.where(is_upd, known, K - 1)
+        upd_j = jnp.asarray(is_upd)
+        uij = jnp.asarray(ui)
+        kfs = m.kfs
+        kfs = kfs.replace(
+            R_cw=kfs.R_cw.at[uij].add(
+                jnp.where(upd_j[:, None, None], kfb.R_cpred - kfs.R_cw[uij], 0.0)
+            ),
+            t_cw=kfs.t_cw.at[uij].add(
+                jnp.where(upd_j[:, None], kfb.t_cpred - kfs.t_cw[uij], 0.0)
+            ),
+            pose_version=kfs.pose_version.at[uij].add(jnp.where(upd_j, 1, 0)),
+        )
+        m = m.replace(kfs=kfs)
+        # one batched allocation for the new keyframes
+        m, arenas = ms.add_keyframes(
+            m, kfb.kf_id, kfb.client_id, kfb.timestamp,
+            kfb.R_cpred, kfb.t_cpred,
+            kfb.xy, kfb.desc, kfb.octave, kfb.angle, kfb.feat_valid,
+            jnp.asarray(assoc), jnp.asarray(is_new),
+        )
+        arenas = np.asarray(arenas)
+        for b in np.where(is_new)[0]:
+            foreign_kf_table[(int(cids[b]), int(ids[b]))] = int(arenas[b])
 
     mpb = msg.mps
-    for i in range(int(mpb.valid.shape[0])):
-        if not bool(mpb.valid[i]):
-            continue
-        cid = int(mpb.client_id[i])
-        mp_id = int(mpb.mp_id[i])
-        key = (cid, mp_id)
-        ref_key = (int(mpb.ref_client_id[i]), int(mpb.ref_kf_id[i]))
-        if ref_key not in foreign_kf_table:
-            continue
-        r = foreign_kf_table[ref_key]
-        T_ref = SE3(R=m.kfs.R_cw[r], t=m.kfs.t_cw[r])
-        pos_w = T_ref.inverse().apply(mpb.pos_ref[i])
-        if key in foreign_mp_table:
-            p = foreign_mp_table[key]
-            m = m.replace(
-                mps=m.mps.replace(
-                    pos=m.mps.pos.at[p].set(pos_w),
-                    pos_version=m.mps.pos_version.at[p].add(1),
-                )
-            )
-            continue
-        if int(m.next_mp) >= m.mps.capacity - 2:
-            continue
-        m, idxs = ms.add_mappoints(
-            m,
-            n_new=jnp.int32(1),
-            pos=pos_w[None, :],
-            desc=mpb.desc[i][None, :],
-            normal=(T_ref.R.T @ mpb.normal_ref[i])[None, :],
-            min_dist=mpb.min_dist[i][None],
-            max_dist=mpb.max_dist[i][None],
-            ref_kf=jnp.asarray([r], jnp.int32),
-            mp_ids=jnp.asarray([mp_id], jnp.int32),
-            client_id=jnp.asarray([cid], jnp.int32),
-            new_valid=jnp.asarray([True]),
+    Bm = int(mpb.valid.shape[0])
+    if Bm:
+        valid = np.asarray(mpb.valid)
+        cids = np.asarray(mpb.client_id)
+        ids = np.asarray(mpb.mp_id)
+        known = np.array(
+            [foreign_mp_table.get((int(c), int(i)), -1) for c, i in zip(cids, ids)],
+            np.int32,
         )
-        foreign_mp_table[key] = int(idxs[0])
+        ref_arena = np.array(
+            [
+                foreign_kf_table.get((int(rc), int(ri)), -1)
+                for rc, ri in zip(np.asarray(mpb.ref_client_id), np.asarray(mpb.ref_kf_id))
+            ],
+            np.int32,
+        )
+        ref_ok = ref_arena >= 0
+        is_upd = valid & (known >= 0) & ref_ok
+        room = int(m.next_mp) + np.cumsum((valid & (known < 0) & ref_ok).astype(np.int64)) <= M - 2
+        is_new = valid & (known < 0) & ref_ok & room
+        ra = jnp.asarray(np.where(ref_ok, ref_arena, 0))
+        T_ref = SE3(R=m.kfs.R_cw[ra], t=m.kfs.t_cw[ra])
+        pos_w = T_ref.inverse().apply(mpb.pos_ref)
+        normal_w = jnp.einsum("bji,bj->bi", T_ref.R, mpb.normal_ref)
+        ui = np.where(is_upd, known, M - 1)
+        uij = jnp.asarray(ui)
+        upd_j = jnp.asarray(is_upd)
+        mps = m.mps
+        mps = mps.replace(
+            pos=mps.pos.at[uij].add(jnp.where(upd_j[:, None], pos_w - mps.pos[uij], 0.0)),
+            pos_version=mps.pos_version.at[uij].add(jnp.where(upd_j, 1, 0)),
+        )
+        m = m.replace(mps=mps)
+        m, arenas = ms.add_mappoints(
+            m,
+            n_new=jnp.sum(jnp.asarray(is_new)),
+            pos=pos_w,
+            desc=mpb.desc,
+            normal=normal_w,
+            min_dist=mpb.min_dist,
+            max_dist=mpb.max_dist,
+            ref_kf=ra.astype(jnp.int32),
+            mp_ids=mpb.mp_id,
+            client_id=mpb.client_id,
+            new_valid=jnp.asarray(is_new),
+        )
+        arenas = np.asarray(arenas)
+        for b in np.where(is_new)[0]:
+            foreign_mp_table[(int(cids[b]), int(ids[b]))] = int(arenas[b])
     return m

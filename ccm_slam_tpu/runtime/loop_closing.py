@@ -34,7 +34,7 @@ from ..ops import bow, matching
 from ..solvers import sim3 as sim3_solver
 from ..solvers import pose_graph as pg
 from ..solvers.reproj import level_sigma2
-from ..utils.lie import SE3, Sim3
+from ..utils.lie import SE3, Sim3, orthonormalize
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +205,7 @@ def correct_loop(
     # loop landmark set into the corrected neighborhood keyframes
     T_corr_se3 = S_corr.to_se3_scaled()
     kfs_work = kfs.replace(
-        R_cw=jnp.where(nbhd[:, None, None], T_corr_se3.R, kfs.R_cw),
+        R_cw=jnp.where(nbhd[:, None, None], orthonormalize(T_corr_se3.R), kfs.R_cw),
         t_cw=jnp.where(nbhd[:, None], T_corr_se3.t, kfs.t_cw),
     )
     m_work = m.replace(kfs=kfs_work, mps=mps.replace(pos=pos2))
@@ -315,7 +315,7 @@ def correct_loop(
     T_new = S_opt.to_se3_scaled()
     kfs = m_work.kfs  # carries the fused forward links
     kfs2 = kfs.replace(
-        R_cw=jnp.where(alive[:, None, None], T_new.R, kfs.R_cw),
+        R_cw=jnp.where(alive[:, None, None], orthonormalize(T_new.R), kfs.R_cw),
         t_cw=jnp.where(alive[:, None], T_new.t, kfs.t_cw),
         pose_version=kfs.pose_version + alive.astype(jnp.int32),
         loop_edge=kfs.loop_edge.at[kf_q].set(kf_c),
@@ -365,6 +365,15 @@ class LoopFinder:
         )
         self.db = kdb.add(self.db, kf_idx, vec, self.map_id)
         return vec
+
+    def insert_keyframes(self, m: ms.MapState, kf_idxs):
+        """Batched registration (one vmapped BoW transform + one scatter) —
+        the per-message path of the jitted server ingest."""
+        if len(kf_idxs) == 0:
+            return
+        idx = jnp.asarray(kf_idxs, jnp.int32)
+        vecs, _ = bow.transform_batch(self.vocab, m.kfs.desc[idx], m.kfs.feat_valid[idx])
+        self.db = kdb.add(self.db, idx, vecs, self.map_id)
 
     def detect(self, m: ms.MapState, kf_idx: int, covis_W):
         """Returns list of consistent-enough candidate arena indices."""

@@ -84,6 +84,15 @@ class MapMatcher:
         vec, _ = bow.transform(self.vocab, m.kfs.desc[kf_idx], m.kfs.feat_valid[kf_idx])
         self.db = kdb.add(self.db, self.global_idx(map_slot, kf_idx), vec, map_slot)
 
+    def insert_keyframes(self, map_slot: int, m: ms.MapState, kf_idxs):
+        """Batched registration: one vmapped BoW transform + one scatter."""
+        if len(kf_idxs) == 0:
+            return
+        idx = jnp.asarray(kf_idxs, jnp.int32)
+        vecs, _ = bow.transform_batch(self.vocab, m.kfs.desc[idx], m.kfs.feat_valid[idx])
+        gidx = jnp.asarray([self.global_idx(map_slot, int(k)) for k in kf_idxs], jnp.int32)
+        self.db = kdb.add(self.db, gidx, vecs, map_slot)
+
     def retire_map(self, map_slot: int):
         """Drop a map's db rows (after it has been absorbed by a merge)."""
         lo = map_slot * self.kf_capacity
@@ -120,20 +129,26 @@ class MapMatcher:
         out.sort(key=lambda x: -x[2])
         return out
 
-    def _global_covis(self, maps: dict):
-        """Block-diagonal global covisibility over the shared-db index space
-        (slot*stride + arena idx): the REAL per-map covisibility matrices,
-        not an arena-adjacency proxy — after merges/culling arena order no
-        longer tracks spatial adjacency (DetectMapMatchCandidates pools
-        scores over GetBestCovisibilityKeyFrames, Database.cpp:260-292)."""
+    def _global_covis(self, maps: dict, top_k: int = 10):
+        """SPARSE global covisibility over the shared-db index space
+        (slot*stride + arena idx): per-row top-k covisible neighbor lists
+        from the REAL per-map covisibility matrices — a dense [n,n] global
+        graph is a stress-scale memory wall, and candidate-group pooling
+        (GetBestCovisibilityKeyFrames, Database.cpp:260-292) only ever reads
+        each row's top covisible neighbors."""
         n = self.db.capacity
-        Wg = jnp.zeros((n, n), jnp.int32)
+        nbr_g = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (1, top_k))
         for slot, mm in maps.items():
             W = ms.covisibility_matrix(mm).astype(jnp.int32)
             lo = slot * self.kf_capacity
             K = min(W.shape[0], self.kf_capacity)
-            Wg = Wg.at[lo : lo + K, lo : lo + K].set(W[:K, :K])
-        return Wg
+            w, nbr = jax.lax.top_k(W[:K, :K], top_k)
+            # rows with no covisible neighbor point at themselves (no-op in
+            # the group accumulation)
+            self_idx = jnp.arange(K, dtype=jnp.int32)[:, None]
+            nbr = jnp.where(w > 0, nbr + lo, self_idx + lo)
+            nbr_g = nbr_g.at[lo : lo + K].set(nbr.astype(jnp.int32))
+        return nbr_g
 
     def try_match(self, map_slot_a: int, m_a: ms.MapState, kf_idx: int,
                   maps: dict):

@@ -51,6 +51,25 @@ def cull_mappoints(m: ms.MapState, cur_kf_id, cfg: SystemConfig):
     return ms.erase_mappoints(m, kill), jnp.sum(kill)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def cull_mappoints_server(m: ms.MapState, cfg: SystemConfig):
+    """Server-side recent-landmark culling (MapPointCullingServer,
+    cslam/src/Mapping.cpp:738-770): landmarks whose found-ratio fell below
+    0.25, or that are >= 3 ingested keyframes old with <= 3 observations,
+    are retired.  'Age' uses the keyframe arena cursor vs the landmark's
+    reference keyframe slot — the arena grows monotonically with server
+    ingestion, the analogue of the reference's mCountKFs counter."""
+    mps = m.mps
+    alive = mps.valid & ~mps.bad
+    age = m.next_kf - jnp.clip(mps.first_kf_id, 0, None)
+    found_ratio = mps.n_found.astype(jnp.float32) / jnp.clip(
+        mps.n_visible.astype(jnp.float32), 1.0
+    )
+    recent = age <= 4  # only recently ingested landmarks are on trial
+    kill = alive & recent & ((found_ratio < 0.25) | ((age >= 3) & (mps.obs_n <= 3)))
+    return ms.erase_mappoints(m, kill), jnp.sum(kill)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
 def triangulate_new_points(
     m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10, next_mp_id=None
@@ -61,8 +80,8 @@ def triangulate_new_points(
     N = kfs.n_feat
     sf = cfg.extractor.scale_factor
 
-    W = ms.covisibility_matrix(m)
-    nbr_idx, nbr_w, _ = ms.covis_neighbors(W, kf_idx, n_neighbors, min_weight=1)
+    row = ms.covis_row(m, kf_idx)
+    nbr_w, nbr_idx = jax.lax.top_k(row, n_neighbors)
 
     R1 = kfs.R_cw[kf_idx]
     t1 = kfs.t_cw[kf_idx]
@@ -273,39 +292,109 @@ def fuse_into(
     return m, jnp.sum(free_hit), jnp.sum(dup_hit)
 
 
+def _fuse_subset(m, target_kf, cand_idx, cand_ok, cam, cfg,
+                 radius_base=3.0, rebuild=True):
+    """fuse_into over a COMPACT candidate index set [P] — the per-keyframe
+    fusion work then scales with the candidate count, not the arena size.
+    Same semantics as fuse_into (obs-count merge rule); the reverse-table
+    rebuild can be deferred by the caller batching several passes."""
+    sf = cfg.extractor.scale_factor
+    kfs, mps = m.kfs, m.mps
+    N = kfs.n_feat
+    Mcap = mps.capacity
+    ci = jnp.clip(cand_idx, 0, Mcap - 1)
+    pos = mps.pos[ci]
+    R = kfs.R_cw[target_kf]
+    t = kfs.t_cw[target_kf]
+    Xc = (R @ pos.T).T + t
+    z = Xc[:, 2]
+    uv = jnp.stack(
+        [cam.fx * Xc[:, 0] / jnp.clip(z, 1e-6) + cam.cx,
+         cam.fy * Xc[:, 1] / jnp.clip(z, 1e-6) + cam.cy], -1
+    )
+    Ow = -(R.T @ t)
+    view = pos - Ow
+    dist3 = jnp.linalg.norm(view, axis=-1)
+    cosv = jnp.sum(view * mps.normal[ci], -1) / jnp.clip(dist3, 1e-9)
+    ok = (
+        cand_ok
+        & mps.valid[ci]
+        & ~mps.bad[ci]
+        & (z > 0)
+        & cam.in_bounds(uv)
+        & (dist3 >= 0.8 * mps.min_dist[ci])
+        & (dist3 <= 1.2 * mps.max_dist[ci])
+        & (cosv > 0.5)
+    )
+    pred_oct = matching.predict_octave(dist3, mps.max_dist[ci], sf, cfg.extractor.n_levels)
+    radius = radius_base * jnp.power(sf, pred_oct.astype(jnp.float32))
+    t_idx, dmin, okm = matching.match_in_window(
+        uv, mps.desc[ci], ok, kfs.xy[target_kf], kfs.desc[target_kf],
+        kfs.feat_valid[target_kf],
+        radius=radius, th_dist=matching.TH_LOW, nn_ratio=1.0,
+        t_octave=kfs.octave[target_kf], octave_min=pred_oct - 1, octave_max=pred_oct + 1,
+    )
+    okm = matching._unique_target(t_idx, dmin, okm, N)
+
+    existing = kfs.mp_idx[target_kf][jnp.clip(t_idx, 0, N - 1)]
+    free_hit = okm & (existing < 0)
+    row = kfs.mp_idx[target_kf]
+    tsafe = jnp.where(free_hit, t_idx, N - 1)
+    delta = jnp.where(free_hit, ci - row[tsafe], 0)
+    row = row.at[tsafe].add(delta)
+    m = m.replace(kfs=kfs.replace(mp_idx=kfs.mp_idx.at[target_kf].set(row)))
+    dup_hit = okm & (existing >= 0) & (existing != ci)
+    ex_safe = jnp.clip(existing, 0, Mcap - 1)
+    cand_wins = mps.obs_n[ci] > mps.obs_n[ex_safe]
+    loser = jnp.where(dup_hit, jnp.where(cand_wins, ex_safe, ci), -1)
+    winner = jnp.where(dup_hit, jnp.where(cand_wins, ci, ex_safe), -1)
+    m = ms.replace_mappoints(m, loser, winner, rebuild=rebuild)
+    return m, jnp.sum(free_hit), jnp.sum(dup_hit)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
 def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10):
     """Duplicate-landmark fusion with covisible neighbors (SearchInNeighbors
     + ORBmatcher::Fuse): project each neighbor's landmarks into the target
     keyframe and the target's landmarks into each neighbor."""
     sf = cfg.extractor.scale_factor
-    W = ms.covisibility_matrix(m)
-    nbr_idx, nbr_w, _ = ms.covis_neighbors(W, kf_idx, n_neighbors, min_weight=1)
+    N = m.kfs.n_feat
+    row = ms.covis_row(m, kf_idx)
+    nbr_w, nbr_idx = jax.lax.top_k(row, n_neighbors)
 
-    # candidates: union of neighbors' landmarks, projected into kf_idx
-    cand = jnp.zeros((m.mps.capacity,), bool)
-    for i in range(n_neighbors):
-        nb = nbr_idx[i]
-        row = m.kfs.mp_idx[nb]
-        has = (row >= 0) & (nbr_w[i] > 0)
-        cand = cand.at[jnp.clip(row, 0, m.mps.capacity - 1)].max(has)
-    # exclude landmarks already in the target
+    # candidates: the neighbors' landmark rows, as a COMPACT [n_neighbors*N]
+    # index set (arena-wide masks would make each fusion pass O(M))
+    cand_idx = m.kfs.mp_idx[nbr_idx].reshape(-1)            # [n_neighbors*N]
+    cand_ok = (cand_idx >= 0) & jnp.repeat(nbr_w > 0, N)
+    # dedup within the set (same landmark seen by several neighbors) and
+    # exclude landmarks already associated in the target
+    ci = jnp.clip(cand_idx, 0, m.mps.capacity - 1)
+    first = jnp.zeros((m.mps.capacity,), jnp.int32).at[ci].max(
+        jnp.where(cand_ok, jnp.arange(cand_idx.shape[0], dtype=jnp.int32) + 1, 0)
+    )
+    cand_ok = cand_ok & (first[ci] == jnp.arange(cand_idx.shape[0], dtype=jnp.int32) + 1)
     own = m.kfs.mp_idx[kf_idx]
-    cand = cand.at[jnp.clip(own, 0, m.mps.capacity - 1)].min(~(own >= 0))
-    m, n_add, n_merge = fuse_into(m, kf_idx, cand, cam, cfg)
+    in_target = jnp.zeros((m.mps.capacity,), bool).at[
+        jnp.clip(own, 0, m.mps.capacity - 1)
+    ].max(own >= 0)
+    cand_ok = cand_ok & ~in_target[ci]
+    m, n_add, n_merge = _fuse_subset(m, kf_idx, cand_idx, cand_ok, cam, cfg,
+                                     rebuild=False)
 
     # reverse direction: project the target's landmarks into each neighbor
     own2 = m.kfs.mp_idx[kf_idx]
-    own_mask = jnp.zeros((m.mps.capacity,), bool).at[
-        jnp.clip(own2, 0, m.mps.capacity - 1)
-    ].max(own2 >= 0)
+    own_ok0 = own2 >= 0
     for i in range(n_neighbors):
         nb = nbr_idx[i]
-        mm, a, g = fuse_into(m, nb, own_mask & (nbr_w[i] > 0), cam, cfg)
+        mm, a, g = _fuse_subset(m, nb, own2, own_ok0 & (nbr_w[i] > 0), cam, cfg,
+                                rebuild=False)
         m = mm
         n_add = n_add + a
         n_merge = n_merge + g
 
+    # one deferred rebuild restores the forward/reverse invariant for the
+    # whole pass (each _fuse_subset only rewrote forward links + bad flags)
+    m = ms.rebuild_observations(m)
     m = ms.update_normal_and_depth(m, sf, cfg.extractor.n_levels)
     m = ms.compute_distinctive_descriptors(m)
     return m, n_add, n_merge
@@ -386,43 +475,96 @@ def trim_keyframes(m: ms.MapState, cfg: SystemConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "iters"))
 def local_ba(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, iters: int = 15):
-    """Local BA: the new keyframe + all its covisible neighbors are free,
-    every other keyframe observing their landmarks is a fixed anchor
-    (LocalBundleAdjustmentClient, Optimizer.cpp:349-644); afterwards,
-    observations failing the chi2 gate are detached."""
-    W = ms.covisibility_matrix(m)
-    # local = the new KF + its covisibility-graph neighbors at the standard
-    # weight>=15 threshold (KeyFrame covisibility rule) — everything else
-    # observing local landmarks stays a FIXED anchor, which is what pins the
-    # monocular gauge (scale included) to the rest of the map
-    local = W[kf_idx] >= 15
-    local = local.at[kf_idx].set(True)
-    # the two oldest alive keyframes always stay fixed (reference fixes
-    # KF0/KF1, Optimizer.cpp:412-418)
-    alive = m.kfs.valid & ~m.kfs.bad
-    order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
+    """Windowed local BA (LocalBundleAdjustmentClient, Optimizer.cpp:349-644):
+    the new keyframe + its covisible neighbors (weight >= 15) are free, the
+    other observers of their landmarks enter as FIXED anchors, and only the
+    local landmarks move.  The subproblem is gathered into fixed
+    (max_cams, max_points) shapes so per-keyframe cost is independent of the
+    arena size; afterwards observations failing the chi2 gate are detached.
+
+    Returns (map', cost, n_good_obs, n_truncated) — n_truncated counts
+    cameras+landmarks that did not fit the window caps (callers surface it:
+    no silent caps)."""
+    kfs, mps = m.kfs, m.mps
+    K, M, N, O = kfs.capacity, mps.capacity, kfs.n_feat, mps.max_obs
+    C = cfg.mapping.local_ba_max_cams
+    P = cfg.mapping.local_ba_max_points
+    alive = kfs.valid & ~kfs.bad
+    alive_mp = mps.valid & ~mps.bad
+
+    # free set: the new KF + covisibility neighbors at the standard
+    # weight>=15 rule; the two oldest alive keyframes stay fixed (the
+    # reference fixes KF0/KF1, Optimizer.cpp:412-418) — the monocular gauge
+    # anchor
+    row = ms.covis_row(m, kf_idx)
+    free = ((row >= 15).at[kf_idx].set(True)) & alive
+    order = jnp.where(alive, kfs.insert_order, jnp.iinfo(jnp.int32).max)
     oldest2 = jnp.argsort(order)[:2]
-    local = local.at[oldest2].set(False)
-    fixed = ~local
+    free = free.at[oldest2].set(False)
 
-    prob = build_ba_problem(m, cam, fixed_mask=fixed)
+    # local landmarks: observed by any free camera (reverse tables)
+    slot_ok = (jnp.arange(O)[None, :] < mps.obs_n[:, None]) & (mps.obs_kf >= 0)
+    okf = jnp.clip(mps.obs_kf, 0, K - 1)
+    lm_local = jnp.any(slot_ok & free[okf], axis=1) & alive_mp
+    n_lm_local = jnp.sum(lm_local.astype(jnp.int32))
+    lm_sel = jnp.argsort(~lm_local, stable=True)[:P]
+    lm_live = jnp.arange(P) < jnp.minimum(n_lm_local, P)
+
+    # cameras: free + anchors (observers of the selected landmarks)
+    obs_sel_kf = okf[lm_sel]                                  # [P,O]
+    sel_ok = slot_ok[lm_sel] & lm_live[:, None]
+    needed = jnp.zeros((K,), bool).at[obs_sel_kf.reshape(-1)].max(sel_ok.reshape(-1))
+    cam_in = (needed | free) & alive
+    prio = jnp.where(free, 2_000_000 + row,
+                     jnp.where(cam_in, 1_000_000 + row, -1))
+    prio_top, cam_order = jax.lax.top_k(prio, C)
+    cam_live = prio_top >= 1_000_000
+    cam_lut = jnp.full((K,), -1, jnp.int32).at[cam_order].set(
+        jnp.where(cam_live, jnp.arange(C, dtype=jnp.int32), -1)
+    )
+    n_trunc = (jnp.sum(cam_in.astype(jnp.int32)) - jnp.sum(cam_live.astype(jnp.int32))
+               + n_lm_local - jnp.sum(lm_live.astype(jnp.int32)))
+
+    # gather the subproblem
+    ci = cam_lut[obs_sel_kf]                                  # [P,O] local cam idx
+    obs_valid = sel_ok & (ci >= 0)
+    ci_safe = jnp.clip(ci, 0, C - 1)
+    feat = jnp.clip(mps.obs_feat[lm_sel], 0, N - 1)
+    uv = kfs.xy[obs_sel_kf, feat]
+    sigma2 = level_sigma2(kfs.octave[obs_sel_kf, feat])
+    cam_fixed = ~free[cam_order] | ~cam_live
+    point_valid = lm_live & (jnp.sum(obs_valid, 1) >= 2)
+    prob = ba.BAProblem(
+        R=kfs.R_cw[cam_order], t=kfs.t_cw[cam_order], X=mps.pos[lm_sel],
+        cam_idx=ci_safe, uv=uv, sigma2=sigma2, obs_valid=obs_valid,
+        cam_fixed=cam_fixed, point_valid=point_valid,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+    )
     R, t, X, cost, n_good = ba.ba_solve(prob, iters=iters)
-    m = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
 
-    # outlier observation removal
+    # scatter back: free camera poses + moved landmarks (delta discipline)
+    move_cam = ~cam_fixed
+    co = jnp.where(move_cam, cam_order, K - 1)
+    kfs2 = kfs.replace(
+        R_cw=kfs.R_cw.at[co].add(jnp.where(move_cam[:, None, None], R - kfs.R_cw[co], 0.0)),
+        t_cw=kfs.t_cw.at[co].add(jnp.where(move_cam[:, None], t - kfs.t_cw[co], 0.0)),
+        pose_version=kfs.pose_version.at[co].add(move_cam.astype(jnp.int32)),
+    )
+    po = jnp.where(point_valid, lm_sel, M - 1)
+    mps2 = mps.replace(
+        pos=mps.pos.at[po].add(jnp.where(point_valid[:, None], X - mps.pos[po], 0.0)),
+        pos_version=mps.pos_version.at[po].add(point_valid.astype(jnp.int32)),
+    )
+    m = m.replace(kfs=kfs2, mps=mps2)
+
+    # outlier observation removal on the subproblem
     good_obs = ba.classify_outliers(prob, R, t, X)
     bad_obs = prob.obs_valid & ~good_obs
-    # detach: forward links (kf, feat) -> NO_MP for bad observations
-    kf = jnp.clip(m.mps.obs_kf, 0, m.kfs.capacity - 1)
-    feat = jnp.clip(m.mps.obs_feat, 0, m.kfs.n_feat - 1)
-    cur = m.kfs.mp_idx[kf, feat]
-    target_mp = jnp.broadcast_to(
-        jnp.arange(m.mps.capacity, dtype=jnp.int32)[:, None], bad_obs.shape
-    )
-    still_linked = cur == target_mp
+    cur = m.kfs.mp_idx[obs_sel_kf, feat]
+    still_linked = cur == lm_sel[:, None]
     rm = bad_obs & still_linked
     delta = jnp.where(rm, NO_MP - cur, 0)
-    mp_idx2 = m.kfs.mp_idx.at[kf, feat].add(delta)
+    mp_idx2 = m.kfs.mp_idx.at[obs_sel_kf, feat].add(delta)
     m = m.replace(kfs=m.kfs.replace(mp_idx=mp_idx2))
     m = ms.rebuild_observations(m)
-    return m, cost, n_good
+    return m, cost, n_good, n_trunc

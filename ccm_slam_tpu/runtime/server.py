@@ -36,6 +36,7 @@ from ..solvers import ba
 from ..utils.camera import Camera
 from ..utils.lie import SE3, Sim3
 from . import mapping as mapping_mod
+from ..models import keyframe_db as kdb_mod
 from .communicator import MapMsg
 from .loop_closing import LoopFinder
 from .map_matching import MapMatcher
@@ -51,8 +52,12 @@ class AgentState:
     S_map_client: Sim3
     kf_table: dict = field(default_factory=dict)   # client kf_id -> arena idx
     mp_table: dict = field(default_factory=dict)   # client mp_id -> arena idx
-    pending_kfs: list = field(default_factory=list)  # pred-missing keyframes
-    pending_mps: list = field(default_factory=list)  # ref-missing landmarks
+    # device-side batched-ingest state: dense id->arena tables (rebuilt
+    # lazily from the dicts after merges) + fixed-capacity pending buffers
+    # (pred/ref-missing entities re-queued into the next ingest call)
+    ing_tables: object = None
+    pending_kfb: object = None
+    pending_mpb: object = None
     last_data_step: int = -1  # -1: never sent data
     finished: bool = False
     next_server_kf: int = 0  # ingestion counter for mapping-side bookkeeping
@@ -137,16 +142,21 @@ class Server:
             self.matcher.grow(K1)
 
     def ingest(self, agent_id: int, msg: MapMsg) -> MapMsg:
-        """Process one client message; returns the ack message
-        (ProcessKfInServer/ProcessMpInServer, Communicator.cpp:815-1139)."""
+        """Process one client message; returns the ack message.
+
+        Batched/jitted replacement of the reference's per-entity ingest loops
+        (ProcessKfInServer/ProcessMpInServer, Communicator.cpp:815-1139):
+        pending buffers are concatenated to the fresh batch and the whole
+        thing lands in ONE compiled call (runtime/ingest.py); only small
+        id/mask arrays cross back to the host for bookkeeping."""
+        from . import ingest as ing
+
         ag = self.agents[agent_id]
         slot = ag.map_slot
         self.ensure_capacity(slot)
         m = self.maps[slot]
-        acked_kfs, acked_mps = [], []
-        weak_kf = -1
 
-        if not msg.empty:
+        if bool(ing.any_valid(msg.kfs.valid, msg.mps.valid)):
             ag.last_data_step = self.step_counter
             ag.finished = False
             # fresh data preempts a running (non-final) GBA: INTERRUPTBA
@@ -154,172 +164,83 @@ class Server:
             self.gba_state.pop(slot, None)
             self.final_gba_done[slot] = False
 
-        kfb = msg.kfs
         S_g = ag.S_map_client
-        # pending keyframes first (pred-missing from earlier messages), then
-        # the new batch, all in kf-id order so chains resolve in one pass
-        kf_items = ag.pending_kfs
-        ag.pending_kfs = []
-        for i in range(int(kfb.valid.shape[0])):
-            if bool(kfb.valid[i]):
-                kf_items.append(jax.tree.map(lambda x: x[i], kfb))
-        kf_items.sort(key=lambda it: int(it.kf_id))
-        new_kf_arenas = []
-        for item in kf_items:
-            kf_id = int(item.kf_id)
-            pred_id = int(item.pred_kf_id)
-            # absolute pose reconstruction through the predecessor
-            if pred_id >= 0:
-                if pred_id not in ag.kf_table:
-                    if bool(item.full):
-                        ag.pending_kfs.append(item)  # buffer for retry
-                    weak_kf = max(weak_kf, self._weak_ack_kf(ag))
-                    continue
-                p_arena = ag.kf_table[pred_id]
-                T_pred = SE3(R=m.kfs.R_cw[p_arena], t=m.kfs.t_cw[p_arena])
-                # gauge: scale the relative translation by the client->map Sim3
-                t_rel = item.t_cpred * S_g.s
-                T_abs = SE3(R=item.R_cpred, t=t_rel).compose(T_pred)
-            else:
-                T_c = SE3(R=item.R_cpred, t=item.t_cpred)
-                T_abs = T_c.to_sim3().compose(S_g.inverse()).to_se3_scaled()
-            if kf_id in ag.kf_table:
-                # duplicate or pose update: update pose, re-ack (:830-845)
-                k = ag.kf_table[kf_id]
-                kfs2 = m.kfs.replace(
-                    R_cw=m.kfs.R_cw.at[k].set(T_abs.R),
-                    t_cw=m.kfs.t_cw.at[k].set(T_abs.t),
-                    pose_version=m.kfs.pose_version.at[k].add(1),
-                )
-                m = m.replace(kfs=kfs2)
-                acked_kfs.append(kf_id)
-                continue
-            if not bool(item.full):
-                # update for an unknown keyframe: ask for a full resend
-                weak_kf = max(weak_kf, self._weak_ack_kf(ag))
-                continue
-            # full keyframe: translate landmark ids to arena indices.
-            # A mapped landmark may have DIED since the table entry was made
-            # (duplicate fusion / culling) — linking to the corpse would
-            # violate the forward/reverse discipline (the reference checks
-            # isBad on every lookup, e.g. Communicator.cpp ProcessKfInServer)
-            mp_alive = np.asarray(m.mps.valid & ~m.mps.bad)
-            assoc_ids = np.asarray(item.mp_assoc_id)
-            assoc = np.full(assoc_ids.shape[0], -1, np.int32)
-            for j, mid in enumerate(assoc_ids):
-                if mid >= 0 and int(mid) in ag.mp_table:
-                    p = ag.mp_table[int(mid)]
-                    if mp_alive[p]:
-                        assoc[j] = p
-            m, k = ms.add_keyframe(
-                m, jnp.int32(kf_id), jnp.int32(agent_id), item.timestamp,
-                T_abs.R, T_abs.t,
-                item.xy, item.desc, item.octave, item.angle,
-                item.feat_valid, jnp.asarray(assoc),
+        cap = self.cfg.capacity
+        if ag.ing_tables is None:
+            ag.ing_tables = ing.tables_from_dicts(
+                ag.kf_table, ag.mp_table, cap.kf_id_space, cap.mp_id_space
             )
-            ag.kf_table[kf_id] = int(k)
-            acked_kfs.append(kf_id)
-            new_kf_arenas.append(int(k))
-            # register in place-recognition databases
-            self.finders[slot].insert_keyframe(m, int(k))
-            self.matcher.insert_keyframe(slot, m, int(k))
+        # pending entities re-enter ahead of the fresh batch (the reference
+        # keeps unprocessable entities in its in-buffer across iterations)
+        kfb, mpb = msg.kfs, msg.mps
+        if ag.pending_kfb is not None:
+            kfb = ing.concat_batches(ag.pending_kfb, kfb)
+        if ag.pending_mpb is not None:
+            mpb = ing.concat_batches(ag.pending_mpb, mpb)
 
-        # landmarks: retry previously-buffered ones first (the reference
-        # keeps unprocessable entities in the in-buffer across iterations)
-        mp_items = ag.pending_mps
-        ag.pending_mps = []
-        mpb = msg.mps
-        for i in range(int(mpb.valid.shape[0])):
-            if bool(mpb.valid[i]):
-                mp_items.append(jax.tree.map(lambda x: x[i], mpb))
-        for item in mp_items:
-            m, ok, mp_id = self._ingest_one_mp(ag, m, item, S_g, agent_id)
-            if ok:
-                acked_mps.append(mp_id)
-            else:
-                ag.pending_mps.append(item)
+        m, ag.ing_tables, out = ing.server_ingest_batch(
+            m, ag.ing_tables, kfb, mpb, S_g.s, S_g.R, S_g.t, jnp.int32(agent_id)
+        )
+
+        # register new keyframes with place recognition — stays on device
+        # (masked batch: BoW transform + scatter in one compiled call each)
+        new_arena_j = out["new_kf_arena"]
+        new_mask = new_arena_j >= 0
+        vecs = kdb_mod.batch_vectors(self.vocab, m.kfs.desc, m.kfs.feat_valid, new_arena_j)
+        self.finders[slot].db = kdb_mod.register_vectors(
+            self.finders[slot].db, new_arena_j, vecs, new_mask, jnp.int32(slot)
+        )
+        rows = jnp.where(new_mask, slot * self.matcher.kf_capacity + new_arena_j, -1)
+        self.matcher.db = kdb_mod.register_vectors(
+            self.matcher.db, rows, vecs, new_mask, jnp.int32(slot)
+        )
+
+        # re-queue pending; overflow forces a client resend via weak ack
+        Pk = max(8, int(msg.kfs.valid.shape[0]))
+        Pm = max(256, int(msg.mps.valid.shape[0]))
+        kf_pending, kf_over = ing.pack_pending(kfb, out["kf_pend"], Pk)
+        mp_pending, mp_over = ing.pack_pending(mpb, out["mp_pend"], Pm)
+        if kf_pending is not None:
+            ag.pending_kfb = kf_pending
+        if mp_pending is not None:
+            ag.pending_mpb = mp_pending
+
+        # ---- host bookkeeping: ONE device->host transfer per message ----
+        host = jax.device_get(
+            dict(
+                kf_ids=kfb.kf_id, kf_ack=out["kf_ack"],
+                new_arena=out["new_kf_arena"],
+                mp_ids=mpb.mp_id, mp_ack=out["mp_ack"],
+                mp_arena=out["mp_arena"], mp_new=out["mp_new"],
+                weak_kf=out["weak_kf"], weak_mp=out["weak_mp"],
+                kf_over=kf_over, mp_over=mp_over,
+                max_kf_id=ag.ing_tables.max_kf_id,
+                max_mp_id=ag.ing_tables.max_mp_id,
+            )
+        )
+        kf_ids, kf_ack = host["kf_ids"], host["kf_ack"]
+        new_arena = host["new_arena"]
+        mp_ids, mp_ack = host["mp_ids"], host["mp_ack"]
+        is_new_kf = new_arena >= 0
+        for kid, arena in zip(kf_ids[is_new_kf], new_arena[is_new_kf]):
+            ag.kf_table[int(kid)] = int(arena)
+        for mid, arena in zip(mp_ids[host["mp_new"]], host["mp_arena"][host["mp_new"]]):
+            ag.mp_table[int(mid)] = int(arena)
+        weak_kf = int(host["max_kf_id"]) if bool(host["weak_kf"]) or bool(host["kf_over"]) else -1
+        weak_mp = int(host["max_mp_id"]) if bool(host["weak_mp"]) or bool(host["mp_over"]) else -1
 
         self.maps[slot] = m
         self.gba_dirty[slot] = True
-        from .communicator import KFMsgBatch, MPMsgBatch
-
         empty_kf = jax.tree.map(lambda x: x[:0], msg.kfs)
         empty_mp = jax.tree.map(lambda x: x[:0], msg.mps)
         return MapMsg(
             kfs=empty_kf,
             mps=empty_mp,
-            ack_kf_ids=np.asarray(acked_kfs, np.int64),
-            ack_mp_ids=np.asarray(acked_mps, np.int64),
+            ack_kf_ids=kf_ids[kf_ack].astype(np.int64),
+            ack_mp_ids=mp_ids[mp_ack].astype(np.int64),
             weak_ack_kf_id=weak_kf,
+            weak_ack_mp_id=weak_mp,
         )
-
-    def _weak_ack_kf(self, ag: AgentState) -> int:
-        return max(ag.kf_table.keys(), default=-1)
-
-    def _ingest_one_mp(self, ag: AgentState, m: ms.MapState, item, S_g: Sim3, agent_id: int):
-        """One landmark message -> map update.  Returns (map, ok, mp_id).
-        ok=False means the reference keyframe is not here yet (buffer+retry)."""
-        mp_id = int(item.mp_id)
-        ref_id = int(item.ref_kf_id)
-        if ref_id not in ag.kf_table:
-            return m, False, mp_id
-        r_arena = ag.kf_table[ref_id]
-        T_ref = SE3(R=m.kfs.R_cw[r_arena], t=m.kfs.t_cw[r_arena])
-        # position: camera frame of ref KF, scaled into the map gauge
-        pos_w = T_ref.inverse().apply(item.pos_ref * S_g.s)
-        normal_w = T_ref.R.T @ item.normal_ref
-        if mp_id in ag.mp_table:
-            p = ag.mp_table[mp_id]
-            if bool(m.mps.bad[p]):
-                # landmark retired server-side (fused into a duplicate or
-                # culled): acknowledge, never resurrect or re-link
-                return m, True, mp_id
-            m = m.replace(
-                mps=m.mps.replace(
-                    pos=m.mps.pos.at[p].set(pos_w),
-                    pos_version=m.mps.pos_version.at[p].add(1),
-                )
-            )
-            p_arena = p
-        else:
-            m, idxs = ms.add_mappoints(
-                m,
-                n_new=jnp.int32(1),
-                pos=pos_w[None, :],
-                desc=item.desc[None, :],
-                normal=normal_w[None, :],
-                min_dist=item.min_dist[None] * S_g.s,
-                max_dist=item.max_dist[None] * S_g.s,
-                ref_kf=jnp.asarray([r_arena], jnp.int32),
-                mp_ids=jnp.asarray([mp_id], jnp.int32),
-                client_id=jnp.asarray([agent_id], jnp.int32),
-                new_valid=jnp.asarray([True]),
-            )
-            p_arena = int(idxs[0])
-            ag.mp_table[mp_id] = p_arena
-        # observation linking: connect to already-present keyframes whose
-        # feature slot is still free (KFs arriving later carry the
-        # association in their own message)
-        obs_ids = np.asarray(item.obs_kf_id)
-        obs_feat = np.asarray(item.obs_feat)
-        obs_ok = np.asarray(item.obs_valid)
-        link_assoc = None
-        for kf_id, feat, okv in zip(obs_ids, obs_feat, obs_ok):
-            if not okv or int(kf_id) not in ag.kf_table:
-                continue
-            k_arena = ag.kf_table[int(kf_id)]
-            if bool(m.kfs.bad[k_arena]):
-                continue  # keyframe culled server-side: no new links
-            if int(m.kfs.mp_idx[k_arena, int(feat)]) >= 0:
-                continue
-            m = m.replace(
-                kfs=m.kfs.replace(
-                    mp_idx=m.kfs.mp_idx.at[k_arena, int(feat)].set(p_arena)
-                )
-            )
-            assoc = jnp.full((m.kfs.n_feat,), ms.NO_MP, jnp.int32).at[int(feat)].set(p_arena)
-            m = ms.register_observations(m, jnp.int32(k_arena), assoc)
-        return m, True, mp_id
 
     # ------------------------------------------------------------- maintenance
 
@@ -329,6 +250,10 @@ class Server:
         ag = self.agents[agent_id]
         slot = ag.map_slot
         m = self.maps[slot]
+        # server landmark culling precedes fusion (RunServer order,
+        # Mapping.cpp:123-196: ProcessNewKeyFrame -> MapPointCullingServer ->
+        # SearchInNeighbors)
+        m, _ = mapping_mod.cull_mappoints_server(m, self.cfg)
         m, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
         if self.cfg.mapping.red_thres < 1.0:
             # server keyframe redundancy culling (KeyFrameCullingV3 gate)
@@ -381,6 +306,8 @@ class Server:
                     for mid, arena in ag.mp_table.items()
                     if res.mp_remap[arena] >= 0
                 }
+                # device id tables point at pre-merge arenas: rebuild lazily
+                ag.ing_tables = None
         # merge-GBA: protected, run to completion now (DONOTINTERRUPTMERGE)
         self._run_gba(target_slot, iters=self.gba_total_iters)
         self.gba_dirty[target_slot] = False
@@ -478,17 +405,20 @@ class Server:
             )
             return empty
 
-        # BFS over covisibility from the agent's newest keyframe
-        W = np.asarray(ms.covisibility_matrix(m))
+        # BFS over covisibility from the agent's newest keyframe.  Row
+        # queries only (covis_row): at stress scale the full [K,K] matrix
+        # with its [M,K] incidence intermediate is a memory wall, and the
+        # BFS touches at most max_kfs rows anyway.
         start = ag.kf_table[max(ag.kf_table.keys())]
         seen = [start]
         frontier = [start]
         while frontier and len(seen) < max_kfs:
             nxt = []
             for k in frontier:
-                nbrs = np.argsort(-W[k])
+                row = np.asarray(ms.covis_row(m, jnp.int32(k)))
+                nbrs = np.argsort(-row)
                 for nb in nbrs:
-                    if W[k, nb] <= 0:
+                    if row[nb] <= 0:
                         break
                     if nb not in seen:
                         seen.append(int(nb))
@@ -525,6 +455,9 @@ class Server:
             R_cpred=T_cl.R,
             t_cpred=T_cl.t,
             pred_kf_id=jnp.full(B, -1, jnp.int32),  # absolute, client gauge
+            R_cpar=T_cl.R,
+            t_cpar=T_cl.t,
+            par_kf_id=jnp.full(B, -1, jnp.int32),
             xy=kfs.xy[sel_j],
             desc=kfs.desc[sel_j],
             octave=kfs.octave[sel_j],
@@ -601,6 +534,7 @@ class Server:
         mp_ids = np.asarray(m.mps.mp_id)
         for p in np.where(mp_alive)[0]:
             ag.mp_table[int(mp_ids[p])] = int(p)
+        ag.ing_tables = None  # rebuild from the repopulated dicts
         return m
 
     # ---------------------------------------------------------------- queries

@@ -136,7 +136,7 @@ class Tracker:
             m, frame, assoc, res["R"], res["t"], self.cam, self.cfg
         )
         # local-map search from the recovered pose, then the standard gate
-        m2, frame3, n_in2 = tracking.track_local_map(m, frame2, self.cam, self.cfg)
+        m2, frame3, n_in2, best_kf = tracking.track_local_map(m, frame2, self.cam, self.cfg)
         if int(n_in2) < self.cfg.tracking.local_map_inlier_thres:
             return None
         self.map = m2
@@ -240,15 +240,19 @@ class Tracker:
         # previous frame, re-search with a widened window from the refined
         # pose (the multi-octave reference gets this leniency from its coarse
         # pyramid levels; a single re-search restores dropped associations)
-        self.map, f3, n_in3 = tracking.track_local_map(self.map, tracked, self.cam, cfg)
+        self.map, f3, n_in3, best_kf = tracking.track_local_map(self.map, tracked, self.cam, cfg)
         self.stats["lm_n_in_a"] = int(n_in3)
         if int(n_in3) < max(t.local_map_inlier_thres, 0.5 * self.prev_inliers):
-            self.map, f3b, n_in3b = tracking.track_local_map(
+            self.map, f3b, n_in3b, best_kf_b = tracking.track_local_map(
                 self.map, f3, self.cam, cfg, window_factor=3.0
             )
             self.stats["path"] = self.stats["path"] + "+wide"
             if int(n_in3b) > int(n_in3):
-                f3, n_in3 = f3b, n_in3b
+                f3, n_in3, best_kf = f3b, n_in3b, best_kf_b
+        # mpReferenceKF re-selection (Tracking.cpp:956): the KF sharing most
+        # tracked landmarks becomes the reference for both the fallback
+        # tracker and the NeedNewKeyFrame baseline
+        self.ref_kf = int(best_kf)
         if int(n_in3) < t.matches_inliers_thres:
             return self._handle_lost(frame)
         tracked = f3
@@ -315,16 +319,25 @@ class Tracker:
             self.map, _, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
             if self.enable_trimming:
                 self.map, _ = mapping.trim_keyframes(self.map, cfg)
-            self.map, cost, n_good = mapping.local_ba(self.map, jnp.int32(k), self.cam, cfg)
+            self.map, cost, n_good, n_trunc = mapping.local_ba(
+                self.map, jnp.int32(k), self.cam, cfg
+            )
             if cfg.mapping.second_fuse_pass:
                 # second fuse pass on the refined geometry: landmarks whose
                 # depth error pushed them outside the tight pre-BA fuse window
                 # get re-observed in the new KF, then a short BA refines them
                 self.map, n_re, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
                 if int(n_re) > 0:
-                    self.map, cost, n_good = mapping.local_ba(
+                    self.map, cost, n_good, n_trunc = mapping.local_ba(
                         self.map, jnp.int32(k), self.cam, cfg, iters=8
                     )
+            if int(n_trunc) > 0:
+                # no silent caps: the local-BA window dropped anchors/points
+                self.stats["local_ba_truncated"] = (
+                    self.stats.get("local_ba_truncated", 0) + int(n_trunc)
+                )
+                print(f"[tracker] local_ba window truncated {int(n_trunc)} entities "
+                      f"(raise mapping.local_ba_max_cams/points)")
             # NOTE: the tracked frame keeps its tracking pose (the reference
             # does the same — frames are never rewritten by BA); rewriting it
             # desynchronizes the constant-velocity model from the pose it was
@@ -335,8 +348,17 @@ class Tracker:
         if int(self.map.next_kf) > cap.client_max_kfs - 4 or int(
             self.map.next_mp
         ) > cap.client_max_mps - 2 * cap.max_keypoints:
+            # the tracker itself holds arena indices across this compaction
+            # (last_frame.mp feeds the next motion-model search) — remap them
+            # or the next frame matches against a permuted arena
+            _, mp_remap = ms.compaction_remap(self.map)
             self.map = ms.compact_map(self.map)
             self.ref_kf = self._find_kf_slot(self.next_kf_id - 1)
+            if self.last_frame is not None:
+                old = jnp.asarray(self.last_frame.mp)
+                remap = jnp.asarray(mp_remap, jnp.int32)
+                new = jnp.where(old >= 0, remap[jnp.clip(old, 0, remap.shape[0] - 1)], ms.NO_MP)
+                self.last_frame = self.last_frame.replace(mp=new)
 
     def _find_kf_slot(self, kf_id: int) -> int:
         ids = self.map.kfs.kf_id

@@ -28,7 +28,7 @@ from ..ops import initializer as init_ops
 from ..ops import matching
 from ..solvers import ba, pose_opt
 from ..solvers.reproj import level_sigma2
-from ..utils.lie import SE3
+from ..utils.lie import SE3, orthonormalize
 from .frame import Frame
 
 NO_MP = ms.NO_MP
@@ -137,7 +137,10 @@ def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cf
     m = ms.erase_mappoints(m, junk)
     n_new = jnp.sum(alive & ~junk)
 
-    # frames updated
+    # frames updated.  NOTE: masked-out rows of mp_idx/assoc1 carry the
+    # arena-slot sentinel capacity-1 (add_mappoints routes rejects there);
+    # the (idx >= 0) guard below is what keeps a junk flag on that slot from
+    # leaking into real associations — keep it if this is ever refactored.
     mp_idx2 = jnp.where(junk[jnp.clip(mp_idx, 0, cap.client_max_mps - 1)] & (mp_idx >= 0),
                         NO_MP, mp_idx)
     assoc1b = jnp.where(junk[jnp.clip(assoc1, 0, cap.client_max_mps - 1)] & (assoc1 >= 0),
@@ -330,7 +333,21 @@ def track_local_map(m: ms.MapState, frame: Frame, cam, cfg: SystemConfig,
     fmp = jnp.clip(frame2.mp, 0, mps.capacity - 1)
     found = found.at[fmp].add((frame2.mp >= 0).astype(jnp.int32))
     m2 = m.replace(mps=mps.replace(n_visible=n_visible, n_found=mps.n_found + found))
-    return m2, frame2, n_in
+
+    # reference-KF re-selection (UpdateLocalKeyFrames, Tracking.cpp:956):
+    # every tracked landmark votes for the keyframes observing it; the
+    # max-sharing KF becomes mpReferenceKF.  Without this, the KF decision's
+    # nRefMatches keys off a stale reference and revisits of mapped terrain
+    # never insert keyframes (c2 starvation on return legs).
+    obs_kf = m.mps.obs_kf[fmp]                       # [N, O]
+    obs_live = (jnp.arange(m.mps.max_obs)[None, :] < m.mps.obs_n[fmp][:, None]) \
+        & (frame2.mp >= 0)[:, None] & (obs_kf >= 0)
+    votes = jnp.zeros((m.kfs.capacity,), jnp.int32).at[
+        jnp.clip(obs_kf, 0, m.kfs.capacity - 1).reshape(-1)
+    ].add(obs_live.reshape(-1).astype(jnp.int32))
+    votes = jnp.where(m.kfs.valid & ~m.kfs.bad, votes, -1)
+    best_kf = jnp.argmax(votes)
+    return m2, frame2, n_in, best_kf
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -348,4 +365,6 @@ def motion_velocity(frame: Frame, last: Frame):
     T_cur = SE3(R=frame.R_cw, t=frame.t_cw)
     T_last = SE3(R=last.R_cw, t=last.t_cw)
     V = T_cur.compose(T_last.inverse())
-    return V.R, V.t
+    # transpose-as-inverse is only exact on SO(3): without re-projection the
+    # pred->track->velocity loop amplifies float32 defects ~2.4x per frame
+    return orthonormalize(V.R), V.t

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.lie import se3_exp
+from ..utils.lie import orthonormalize, se3_exp
 from . import reproj
 
 
@@ -521,7 +521,7 @@ def ba_solve(prob: BAProblem, iters: int = 20, huber_delta: float = 2.447651936,
             delta_c, delta_p = _solve_schur(prob, U, V, W, g_c, g_p, ci, lam)
 
         dR, dt = se3_exp(delta_c)
-        R_new = dR @ R
+        R_new = orthonormalize(dR @ R)  # keep the iterate on SO(3)
         t_new = (dR @ t[..., None])[..., 0] + dt
         X_new = X + delta_p
 

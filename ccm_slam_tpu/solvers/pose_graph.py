@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.lie import Sim3
+from ..utils.lie import Sim3, orthonormalize
 
 
 @struct.dataclass
@@ -88,7 +88,10 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20):
 
     def apply_delta(S_cur: Sim3, dx):
         dS = Sim3.exp(dx.reshape(V, 7))
-        return dS.compose(S_cur)
+        S = dS.compose(S_cur)
+        # iterated composes drift off SO(3) in float32; project back so the
+        # optimized poses written into the map stay true rotations
+        return Sim3(s=S.s, R=orthonormalize(S.R), t=S.t)
 
     def cost_of(S_cur: Sim3):
         def edge_cost(e):

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.lie import se3_exp
+from ..utils.lie import orthonormalize, se3_exp
 from . import reproj
 
 
@@ -100,13 +100,17 @@ def optimize_pose(
             None,
             length=iters_per_round,
         )
+        # keep R on SO(3): the dR @ R chain preserves (and the velocity loop
+        # feeding this amplifies) any non-orthogonal defect, which acts as a
+        # projective warp no orthogonal update can undo
+        R = orthonormalize(R)
         # re-classify at the updated pose (reference: chi2 > 5.991 or depth<=0)
         r, _, z = reproj.project_residual(R, t, X, uv, fx, fy, cx, cy)
         chi2 = w_conf0 * jnp.sum(r * r, axis=-1)
         inlier = valid & (chi2 <= chi2_thres) & (z > 0)
         return (R, t, inlier.astype(jnp.float32)), costs[-1]
 
-    init = (R0, t0, valid.astype(jnp.float32))
+    init = (orthonormalize(R0), t0, valid.astype(jnp.float32))
     (R, t, inlier_f), _ = jax.lax.scan(round_body, init, jnp.arange(rounds))
     inlier = inlier_f > 0.5
     return R, t, inlier, jnp.sum(inlier.astype(jnp.int32))

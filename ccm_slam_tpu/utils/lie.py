@@ -53,6 +53,23 @@ def _sinc(x):
     return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
 
 
+def orthonormalize(R):
+    """Project [..., 3, 3] matrices back onto SO(3) (nearest rotation).
+
+    Two Newton-polar iterations ``R <- R (3I - R^T R) / 2``: each maps a
+    singular-value defect e to ~1.5 e^2, so near-orthogonal inputs (defect
+    <= ~0.1) land at float-precision orthogonality.  MUST be applied after
+    every chain of multiplicative rotation updates (``dR @ R`` in solvers,
+    velocity composition in tracking): transpose-as-inverse plus iterated
+    products otherwise AMPLIFY float32 defects geometrically — measured
+    ~2.4x/frame through the tracker's constant-velocity feedback loop,
+    warping the map via BA against non-orthogonal camera poses."""
+    eye3 = 3.0 * jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        R = 0.5 * (R @ (eye3 - jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def so3_exp(phi):
     """Rodrigues: [..., 3] -> [..., 3, 3]."""
     theta2 = jnp.sum(phi * phi, axis=-1)

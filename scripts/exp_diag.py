@@ -47,8 +47,7 @@ if os.environ.get("NO_FUSE"):
 prev_c = None
 prev_gt = None
 for i, fr in enumerate(seq.frames()):
-    out = tr.process_frame.__self__.process_image(jnp.asarray(fr.image), fr.timestamp) \
-        if False else tr.process_image(jnp.asarray(fr.image), fr.timestamp)
+    out = tr.process_image(jnp.asarray(fr.image), fr.timestamp)
     _, gt_o, gt_R = seq.gt_pose(i)
     line = f"f{i:03d} st={tr.state}"
     if out is not None:

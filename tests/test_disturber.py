@@ -193,7 +193,7 @@ class TestReorderDuplicate:
         acks = [server.ingest(0, one(i)) for i in (2, 3)]  # preds 1,2 missing
         assert all(a.weak_ack_kf_id >= -1 for a in acks)
         ag = server.agents[0]
-        assert len(ag.pending_kfs) == 2
+        assert int(jnp.sum(ag.pending_kfb.valid)) == 2
         assert 2 not in ag.kf_table and 3 not in ag.kf_table
         server.ingest(0, one(0))   # absolute root
         server.ingest(0, one(1))   # chain resolves pending 2 and 3 in order
@@ -201,6 +201,53 @@ class TestReorderDuplicate:
         m_srv = server.maps[ag.map_slot]
         centers = np.asarray(m_srv.kfs.center())
         for kf_id, x in zip(range(4), [0.0, 1.0, 2.0, 3.0]):
+            c = centers[ag.kf_table[kf_id]]
+            assert np.allclose(c, [x, 0.0, 0.0], atol=1e-3), (kf_id, c)
+
+
+class TestParentFallback:
+    def test_predecessor_never_arrives_parent_resolves(self):
+        """The wire's parent-reference alternative (KF.msg:32 mTcpar,
+        chain-walk KeyFrame.cpp:1857-1948): when a keyframe's predecessor is
+        dropped PERMANENTLY, the server must still integrate it through the
+        spanning-tree parent reference instead of buffering it forever."""
+        import dataclasses
+
+        server, maps = _setup(seed=7)
+        m0 = maps[0]
+        st = comm.ClientCommState.create(16, 1024)
+        msg, st = comm.publish_client(m0, st, 0, max_kfs=4, max_mps=0)
+        items = [jax.tree.map(lambda x: x[i : i + 1], msg.kfs) for i in range(4)]
+
+        def one(i, par_override=None):
+            kfb = items[i]
+            if par_override is not None:
+                # force the parent reference (relative pose recomputed)
+                from ccm_slam_tpu.utils.lie import SE3
+                k = int(np.where(np.asarray(m0.kfs.kf_id) == i)[0][0])
+                p = int(np.where(np.asarray(m0.kfs.kf_id) == par_override)[0][0])
+                T_k = SE3(R=m0.kfs.R_cw[k], t=m0.kfs.t_cw[k])
+                T_p = SE3(R=m0.kfs.R_cw[p], t=m0.kfs.t_cw[p])
+                T_rel = T_k.compose(T_p.inverse())
+                kfb = kfb.replace(
+                    par_kf_id=jnp.asarray([par_override], jnp.int32),
+                    R_cpar=T_rel.R[None], t_cpar=T_rel.t[None],
+                )
+            return dataclasses.replace(msg, kfs=kfb)
+
+        server.ingest(0, one(0))            # root arrives
+        # KF 1 is LOST FOREVER; KF 2 arrives with pred=1 (missing) but
+        # parent=0 (present): must integrate through the parent
+        ack = server.ingest(0, one(2, par_override=0))
+        ag = server.agents[0]
+        assert 2 in ag.kf_table, "parent fallback did not integrate KF 2"
+        assert 2 in set(int(a) for a in ack.ack_kf_ids)
+        # KF 3 chains through KF 2 by predecessor as usual
+        server.ingest(0, one(3))
+        assert 3 in ag.kf_table
+        m_srv = server.maps[ag.map_slot]
+        centers = np.asarray(m_srv.kfs.center())
+        for kf_id, x in [(0, 0.0), (2, 2.0), (3, 3.0)]:
             c = centers[ag.kf_table[kf_id]]
             assert np.allclose(c, [x, 0.0, 0.0], atol=1e-3), (kf_id, c)
 

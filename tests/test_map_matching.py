@@ -72,14 +72,20 @@ class TestMapMatching:
             n_words=64, iters=2,
         )
         matcher = MapMatcher(cfg=cfg, cam=cam, vocab=vocab, n_slots=4, kf_capacity=16)
-        Wg = np.asarray(matcher._global_covis({0: m_a, 1: m_b}))
+        nbr_g = np.asarray(matcher._global_covis({0: m_a, 1: m_b}))
         stride = matcher.kf_capacity
         for slot, m in [(0, m_a), (1, m_b)]:
-            W = np.asarray(ms.covisibility_matrix(m))
+            W = np.asarray(ms.covisibility_matrix(m))[:16, :16]
             lo = slot * stride
-            np.testing.assert_array_equal(Wg[lo : lo + 16, lo : lo + 16], W[:16, :16])
-        # off-diagonal blocks (cross-map) must be zero
-        assert Wg[:16, stride : stride + 16].sum() == 0
+            for k in range(16):
+                got = set(nbr_g[lo + k]) - {lo + k}
+                # every real covisible neighbor in the row's top-10 must be
+                # present (sparse form of the block-diagonal real graph)
+                top = np.argsort(-W[k])[:10]
+                expect = {lo + int(n) for n in top if W[k, n] > 0}
+                assert expect <= (got | {lo + k}), (slot, k, expect, got)
+                # and no cross-map neighbors
+                assert all(lo <= g < lo + stride for g in got), (slot, k, got)
 
     def test_merge_with_shuffled_arena_order(self):
         """Arena order deliberately decorrelated from spatial adjacency:
