@@ -232,10 +232,10 @@ def rendered_ci_config(factor: float = 0.4) -> SystemConfig:
         mapping=MappingConfig(second_fuse_pass=False),
         capacity=CapacityConfig(
             max_keypoints=512,
-            client_max_kfs=48,
-            client_max_mps=6144,
-            server_max_kfs=160,
-            server_max_mps=16384,
+            client_max_kfs=96,
+            client_max_mps=10240,
+            server_max_kfs=192,
+            server_max_mps=20480,
             max_obs_per_mp=16,
             covis_neighbors=16,
         ),

@@ -79,6 +79,21 @@ def register_vectors(db: KeyFrameDB, rows, vecs, mask, map_id) -> KeyFrameDB:
     )
 
 
+def remap(db: KeyFrameDB, kf_remap) -> KeyFrameDB:
+    """Permute db rows through an arena compaction remap (old->new index,
+    -1 = dropped).  Lets a bounded-memory standalone/client system compact
+    its map arena without invalidating the place-recognition bank."""
+    out = empty_db(db.capacity, db.vectors.shape[1])
+    remap_j = jnp.asarray(kf_remap, jnp.int32)
+    ok = (remap_j >= 0) & db.valid
+    tgt = jnp.where(ok, jnp.clip(remap_j, 0, db.capacity - 1), db.capacity - 1)
+    return KeyFrameDB(
+        vectors=out.vectors.at[tgt].add(jnp.where(ok[:, None], db.vectors, 0.0)),
+        valid=out.valid.at[tgt].max(ok),
+        map_id=out.map_id.at[tgt].add(jnp.where(ok, db.map_id + 1, 0)),
+    )
+
+
 def erase(db: KeyFrameDB, kf_mask) -> KeyFrameDB:
     return db.replace(valid=db.valid & ~kf_mask)
 

@@ -88,6 +88,75 @@ def train_vocabulary(key, descs, valid, n_words: int = 1024, iters: int = 8) -> 
     return Vocabulary(words=words, idf=idf)
 
 
+def train_vocabulary_large(key, descs, n_words: int = 32768, iters: int = 6,
+                           block: int = 8192) -> Vocabulary:
+    """Binary k-medians at ORBvoc scale (tens of thousands of words, hundreds
+    of thousands of descriptors) — the production replacement for the
+    reference's ~1M-leaf DBoW2 tree (TemplatedVocabulary.h:1350-1367).
+
+    The plain trainer's one-hot assignment matrix ([N, W] f32) would be tens
+    of GB here; this version scans descriptor blocks, doing the [B, W]
+    Hamming matmul + argmin + scatter-add accumulation per block.  All valid
+    descriptors; call with a pre-filtered sample.
+    """
+    N = descs.shape[0]
+    n_blocks = (N + block - 1) // block
+    pad = n_blocks * block - N
+    descs_p = jnp.pad(descs, ((0, pad), (0, 0)))
+    dvalid = jnp.pad(jnp.ones((N,), bool), (0, pad))
+    bits_p = hamming.unpack_bits(descs_p).astype(jnp.float32)   # [Np, 256]
+
+    perm = jax.random.choice(key, N, shape=(n_words,), replace=N < n_words)
+    words = descs[perm]
+
+    @jax.jit
+    def em_step(words):
+        def blk(carry, inp):
+            sums, counts = carry
+            d_b, bits_b, v_b = inp
+            dist = hamming.hamming_cross(d_b, words)            # [B, W]
+            assign = jnp.where(v_b, jnp.argmin(dist, axis=1), n_words - 1)
+            add = jnp.where(v_b[:, None], bits_b, 0.0)
+            sums = sums.at[assign].add(add)
+            counts = counts.at[assign].add(v_b.astype(jnp.float32))
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk,
+            (jnp.zeros((n_words, 256), jnp.float32), jnp.zeros((n_words,), jnp.float32)),
+            (descs_p.reshape(n_blocks, block, 32),
+             bits_p.reshape(n_blocks, block, 256),
+             dvalid.reshape(n_blocks, block)),
+        )
+        mean = sums / jnp.clip(counts[:, None], 1e-9)
+        new_bits = (mean >= 0.5).astype(jnp.uint8)
+        new_words = hamming.pack_bits(new_bits)
+        new_words = jnp.where(counts[:, None] > 0, new_words, words)
+        return new_words, counts
+
+    for _ in range(iters):
+        words, counts = em_step(words)
+
+    df = counts / jnp.clip(jnp.sum(counts), 1.0)
+    idf = jnp.log(1.0 / jnp.clip(df, 1e-6))
+    idf = jnp.where(counts > 0, idf, 0.0)
+    return Vocabulary(words=words, idf=idf)
+
+
+def save_vocabulary(path: str, vocab: Vocabulary):
+    """Persist the codebook (the ORBvoc.txt analogue — binary npz artifact)."""
+    import numpy as np
+
+    np.savez_compressed(path, words=np.asarray(vocab.words), idf=np.asarray(vocab.idf))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    import numpy as np
+
+    z = np.load(path)
+    return Vocabulary(words=jnp.asarray(z["words"]), idf=jnp.asarray(z["idf"]))
+
+
 @jax.jit
 def transform_batch(vocab: Vocabulary, descs, valid):
     """Batched frame transform: descs [B,N,32], valid [B,N] -> vecs [B,W].

@@ -487,8 +487,8 @@ def local_ba(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, iters: int = 15):
     no silent caps)."""
     kfs, mps = m.kfs, m.mps
     K, M, N, O = kfs.capacity, mps.capacity, kfs.n_feat, mps.max_obs
-    C = cfg.mapping.local_ba_max_cams
-    P = cfg.mapping.local_ba_max_points
+    C = min(cfg.mapping.local_ba_max_cams, K)
+    P = min(cfg.mapping.local_ba_max_points, M)
     alive = kfs.valid & ~kfs.bad
     alive_mp = mps.valid & ~mps.bad
 

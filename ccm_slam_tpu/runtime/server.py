@@ -81,6 +81,7 @@ class Server:
     # dropped whenever the slot's problem changes so chunked == monolithic
     gba_state: Dict[int, object] = field(default_factory=dict)
     final_gba_done: Dict[int, bool] = field(default_factory=dict)
+    gba_last_cost: Dict[int, object] = field(default_factory=dict)
     quiescence_steps: int = 30
     gba_chunk_iters: int = 2
     gba_total_iters: int = 20
@@ -256,8 +257,16 @@ class Server:
         m, _ = mapping_mod.cull_mappoints_server(m, self.cfg)
         m, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
         if self.cfg.mapping.red_thres < 1.0:
-            # server keyframe redundancy culling (KeyFrameCullingV3 gate)
-            m, _ = mapping_mod.cull_redundant_keyframes(m, self.cfg)
+            # server keyframe redundancy culling (KeyFrameCullingV3 gate);
+            # culled rows must leave the place-recognition databases too
+            m, n_culled = mapping_mod.cull_redundant_keyframes(m, self.cfg)
+            if int(n_culled) > 0:
+                dead = m.kfs.valid & m.kfs.bad
+                self.finders[slot].db = kdb_mod.erase(self.finders[slot].db, dead)
+                gmask = jnp.zeros((self.matcher.db.capacity,), bool)
+                lo = slot * self.matcher.kf_capacity
+                gmask = gmask.at[lo : lo + dead.shape[0]].set(dead)
+                self.matcher.db = kdb_mod.erase(self.matcher.db, gmask)
         self.maps[slot] = m
         self.gba_state.pop(slot, None)  # problem changed: carried LM state is stale
         # intra-map loop closure
@@ -316,12 +325,21 @@ class Server:
     # ------------------------------------------------------------------- GBA
 
     def _run_gba(self, slot: int, iters: int, with_stats: bool = True,
-                 carry: bool = False):
+                 carry: bool = False, block: bool = True):
         """One GBA invocation for a map slot.  ``carry=True`` (interruptible
         chunks) threads the per-slot LM state (lam, CG warm start, entry
         cost) so the chunked schedule lands on the monolithic optimum; the
         state is dropped by every mutation path (ingest/mapping/merge) and on
-        arena growth (shape change)."""
+        arena growth (shape change).
+
+        ``block=False`` dispatches the solve WITHOUT waiting for the device:
+        JAX execution is async, so the host returns immediately with the
+        result arrays as futures already installed in ``self.maps[slot]`` —
+        the device queue orders any later ingest work after the chunk, and
+        the host meanwhile prepares/acks the next messages (the reference's
+        GBA-thread/ingest-thread overlap, LoopFinder.cpp:688 + Map.cpp:1402,
+        without the locks).  ``self.gba_last_cost[slot]`` holds the pending
+        cost; read it via ``gba_cost(slot)`` to synchronize on demand."""
         m = self.maps[slot]
         alive = m.kfs.valid & ~m.kfs.bad
         order = jnp.where(alive, m.kfs.insert_order, jnp.iinfo(jnp.int32).max)
@@ -348,7 +366,8 @@ class Server:
         else:
             self.gba_state.pop(slot, None)
         self.maps[slot] = apply_ba_result(m, R, t, X, moved_kf_mask=~fixed & alive)
-        return float(cost)
+        self.gba_last_cost[slot] = cost
+        return float(cost) if block else cost
 
     def idle_step(self):
         """One scheduler tick: advance interruptible GBAs; trigger final GBA
@@ -376,13 +395,22 @@ class Server:
                 continue
             if self.gba_dirty[slot] and self.gba_progress[slot] < self.gba_total_iters:
                 # interruptible chunk (stats only on the final GBA); the LM
-                # state carries across chunks while the problem is unchanged
+                # state carries across chunks while the problem is unchanged.
+                # Dispatched WITHOUT blocking: ingestion continues on the
+                # host while the chunk runs on-device
                 self._run_gba(
-                    slot, iters=self.gba_chunk_iters, with_stats=False, carry=True
+                    slot, iters=self.gba_chunk_iters, with_stats=False,
+                    carry=True, block=False,
                 )
                 self.gba_progress[slot] += self.gba_chunk_iters
                 if self.gba_progress[slot] >= self.gba_total_iters:
                     self.gba_dirty[slot] = False
+
+    def gba_cost(self, slot: int):
+        """Synchronize on the most recent GBA result of a slot (host-side
+        barrier for code that needs the converged cost)."""
+        c = self.gba_last_cost.get(slot)
+        return None if c is None else float(c)
 
     # --------------------------------------------------------------- vicinity
 

@@ -69,6 +69,7 @@ class StandaloneSystem:
         out = self.tracker.process_frame(frame)
         if self.tracker.map is None:
             return out
+        self._handle_compaction()
         if self.tracker.stats["kf_created"] > n_kf_before:
             self._ensure_finder()
             new_arena = self.tracker.ref_kf
@@ -84,7 +85,40 @@ class StandaloneSystem:
                 self.tracker.last_frame = self.tracker.last_frame.replace(
                     R_cw=m2.kfs.R_cw[new_arena], t_cw=m2.kfs.t_cw[new_arena]
                 )
+            self._cull_redundant()
         return out
+
+    def _handle_compaction(self):
+        """Arena compaction permutes keyframe indices; the finder's db rows
+        and consistency state hold the OLD indices — remap/reset them (the
+        never-compact-under-others invariant, honored by fixup)."""
+        if getattr(self.tracker, "last_compaction", None) is None:
+            return
+        kf_remap, _ = self.tracker.last_compaction
+        self.tracker.last_compaction = None
+        if self.finder is not None:
+            from ..models import keyframe_db as kdb
+
+            self.finder.db = kdb.remap(self.finder.db, kf_remap)
+            self.finder.prev_groups = []  # consistency restarts (rare event)
+
+    def _cull_redundant(self):
+        """Keyframe redundancy culling (KeyFrameCullingV3): the standalone
+        system IS client+server in one process, so the server-side culling
+        belongs here — without it a noisy sequence inserts keyframes at near
+        frame rate and the arena overflows.  Culled rows are erased from the
+        place-recognition database (bad keyframes must not stay queryable)."""
+        from ..models import keyframe_db as kdb
+        from ..runtime import mapping as mapping_mod
+
+        if self.cfg.mapping.red_thres >= 1.0:
+            return
+        m, n = mapping_mod.cull_redundant_keyframes(self.tracker.map, self.cfg)
+        if int(n) > 0:
+            self.tracker.map = m
+            if self.finder is not None:
+                dead = m.kfs.valid & m.kfs.bad
+                self.finder.db = kdb.erase(self.finder.db, dead)
 
     def process_image(self, img, timestamp: float):
         n_kf_before = self.tracker.stats["kf_created"]

@@ -64,6 +64,7 @@ class Tracker:
     enable_mapping: bool = True
     enable_trimming: bool = False  # standalone eval keeps the full map
     enable_relocalization: bool = False  # opt-in PnP recovery (see _relocalize)
+    last_compaction: object = None  # (kf_remap, mp_remap) of the latest compact
     stats: dict = field(default_factory=lambda: {"kf_created": 0, "mp_created": 0})
 
     def __post_init__(self):
@@ -242,7 +243,11 @@ class Tracker:
         # pyramid levels; a single re-search restores dropped associations)
         self.map, f3, n_in3, best_kf = tracking.track_local_map(self.map, tracked, self.cam, cfg)
         self.stats["lm_n_in_a"] = int(n_in3)
-        if int(n_in3) < max(t.local_map_inlier_thres, 0.5 * self.prev_inliers):
+        # near-loss rescue ONLY (the reference widens its search th only
+        # after relocalization, Tracking.cpp:757-763): a soft "associations
+        # dropped" trigger would silently re-acquire a drifted revisit at
+        # 3x the radius and rob the loop finder of the closure
+        if int(n_in3) < t.local_map_inlier_thres:
             self.map, f3b, n_in3b, best_kf_b = tracking.track_local_map(
                 self.map, f3, self.cam, cfg, window_factor=3.0
             )
@@ -351,9 +356,12 @@ class Tracker:
             # the tracker itself holds arena indices across this compaction
             # (last_frame.mp feeds the next motion-model search) — remap them
             # or the next frame matches against a permuted arena
-            _, mp_remap = ms.compaction_remap(self.map)
+            kf_remap, mp_remap = ms.compaction_remap(self.map)
             self.map = ms.compact_map(self.map)
             self.ref_kf = self._find_kf_slot(self.next_kf_id - 1)
+            # surface the remap so owners of external arena-index tables
+            # (standalone loop finder, comm state) can fix themselves up
+            self.last_compaction = (kf_remap, mp_remap)
             if self.last_frame is not None:
                 old = jnp.asarray(self.last_frame.mp)
                 remap = jnp.asarray(mp_remap, jnp.int32)

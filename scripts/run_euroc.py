@@ -30,7 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", nargs="+", required=True,
                     help="EuRoC roots (mav0/ inside); for --dataset kitti use <root>:<seq>")
-    ap.add_argument("--dataset", default="euroc", choices=["euroc", "kitti"])
+    ap.add_argument("--dataset", default="euroc",
+                    choices=["euroc", "kitti", "rendered"])
+    ap.add_argument("--factor", type=float, default=1.0,
+                    help="rendered dataset resolution factor (1.0 = 752x480)")
     ap.add_argument("--starts", nargs="*", type=float, default=None)
     ap.add_argument("--out", default="out")
     ap.add_argument("--limit", type=int, default=None, help="max frames per agent")
@@ -77,6 +80,29 @@ def main():
             root, _, nn = spec.rpartition(":")
             seqs.append(KittiSequence(root=root or spec, seq=nn or "00"))
         cfg = cfg.replace(camera=KITTI_CAMERA)
+    elif args.dataset == "rendered":
+        # synthetic-pixel stand-in for EuRoC (zero-egress environments):
+        # spec = <world>:<seed>[:n_frames[:span_lo-span_hi]], e.g. corridor:0
+        # or loop:0:400:0-1
+        from ccm_slam_tpu.config import rendered_ci_config
+        from ccm_slam_tpu.io.rendered import RenderedSequence
+
+        cfg = rendered_ci_config(factor=args.factor)
+        seqs = []
+        for spec in args.seq:
+            parts = spec.split(":")
+            world = parts[0] or "corridor"
+            seed = int(parts[1]) if len(parts) > 1 else 0
+            n_frames = int(parts[2]) if len(parts) > 2 else (args.limit or 300)
+            span = (0.0, 1.0)
+            if len(parts) > 3:
+                lo, _, hi = parts[3].partition("-")
+                span = (float(lo), float(hi or 1.0))
+            seqs.append(RenderedSequence(
+                world=world, seed=seed, n_frames=n_frames, span=span,
+                cam=cfg.camera,
+                cache_dir=os.environ.get("CCM_RENDER_CACHE", "/tmp/ccm_render_cache"),
+            ))
     else:
         seqs = [euroc.EurocSequence(root=r) for r in args.seq]
     cam = Camera.from_config(cfg.camera)

@@ -125,6 +125,38 @@ class TestServerChunkedGBA:
     def test_chunked_equals_monolithic_single_device(self, cam):
         self._run(None, cam)
 
+    def test_async_chunks_overlap_ingest(self, cam):
+        """idle_step dispatches GBA chunks WITHOUT a host sync (the
+        reference's GBA-thread/ingest-thread overlap): interleaving host-side
+        work between chunks must not change the result, and the pending cost
+        future is only synchronized on demand (gba_cost)."""
+        import time
+
+        cfg = small_cfg()
+        async_srv = make_server(cfg, cam)
+        t_host = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            async_srv.idle_step()
+            t_host += time.perf_counter() - t0
+            # host-side work happens here while the chunk runs on-device;
+            # reading the cost future later must give the converged value
+        assert not async_srv.gba_dirty[0]
+        assert async_srv.gba_cost(0) is not None  # sync-on-demand works
+
+        blocking = make_server(cfg, cam)
+        for _ in range(3):
+            blocking.idle_step()
+            blocking.gba_cost(0)  # force the sync after every chunk
+        np.testing.assert_allclose(
+            np.asarray(async_srv.maps[0].kfs.t_cw[:C_KF]),
+            np.asarray(blocking.maps[0].kfs.t_cw[:C_KF]), atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(async_srv.maps[0].mps.pos[:N_PTS]),
+            np.asarray(blocking.maps[0].mps.pos[:N_PTS]), atol=0,
+        )
+
     def test_chunked_equals_monolithic_on_mesh(self, cam):
         from ccm_slam_tpu.parallel import dist_ba
 
