@@ -74,6 +74,21 @@ def main():
 
     iters_per_s = iters / dt
     baseline_iters_per_s = 10.0  # reference envelope estimate (see module docstring)
+
+    # secondary contract metric: batched message-ingest throughput at the
+    # reference comm budget (40 KFs + 2500 MPs per message); the reference's
+    # per-entity CPU loops run at roughly wire rate (~200 KF/s envelope)
+    extra = {}
+    try:
+        import sys
+
+        sys.path.insert(0, "benchmarks")
+        from ingest_bench import measure as ingest_measure
+
+        extra = ingest_measure(n_msgs=8)
+    except Exception as e:  # never break the contract line
+        extra = {"ingest_error": str(e)[:120]}
+
     print(
         json.dumps(
             {
@@ -81,6 +96,7 @@ def main():
                 "value": round(iters_per_s, 2),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_s / baseline_iters_per_s, 2),
+                **extra,
             }
         )
     )

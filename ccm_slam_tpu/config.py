@@ -229,13 +229,18 @@ def rendered_ci_config(factor: float = 0.4) -> SystemConfig:
     return SystemConfig(
         extractor=ExtractorConfig(n_features=400, n_levels=5, cell_size=16),
         camera=scaled_camera(factor=factor),
-        mapping=MappingConfig(second_fuse_pass=False),
+        # reduced-resolution tracking is noisier -> the weakness condition
+        # (c2) fires near frame rate; MinFrames=2 rate-limits keyframe
+        # creation (Tracking.MinFrames is the reference's own knob for this)
+        # and a slightly lower redundancy threshold keeps the arena bounded
+        tracking=TrackingConfig(min_frames=2),
+        mapping=MappingConfig(second_fuse_pass=False, red_thres=0.92),
         capacity=CapacityConfig(
             max_keypoints=512,
-            client_max_kfs=96,
-            client_max_mps=10240,
-            server_max_kfs=192,
-            server_max_mps=20480,
+            client_max_kfs=160,
+            client_max_mps=14336,
+            server_max_kfs=256,
+            server_max_mps=24576,
             max_obs_per_mp=16,
             covis_neighbors=16,
         ),

@@ -357,6 +357,7 @@ def add_mappoints(
     mp_ids,
     client_id,
     new_valid,
+    inserted_stamp=None,
 ) -> tuple[MapState, jnp.ndarray]:
     """Batch-allocate up to B landmark slots (fixed B = pos.shape[0], actual
     count = n_new via new_valid mask).  Returns (map, arena_idx [B])."""
@@ -390,7 +391,15 @@ def add_mappoints(
         min_dist=upd(mps.min_dist, min_dist),
         max_dist=upd(mps.max_dist, max_dist),
         ref_kf=upd(mps.ref_kf, ref_kf),
-        first_kf_id=upd(mps.first_kf_id, ref_kf),
+        # first_kf_id is the CULLING AGE STAMP (the reference's
+        # mInsertedWithKF): by default the reference keyframe, but server
+        # ingest passes the keyframe cursor at ARRIVAL time — a landmark
+        # re-sent late must not inherit the age of its (old) reference KF
+        first_kf_id=upd(
+            mps.first_kf_id,
+            ref_kf if inserted_stamp is None
+            else jnp.broadcast_to(inserted_stamp, ref_kf.shape).astype(mps.first_kf_id.dtype),
+        ),
         n_visible=upd(mps.n_visible, jnp.ones_like(mps.n_visible[idx])),
         n_found=upd(mps.n_found, jnp.ones_like(mps.n_found[idx])),
         obs_n=upd(mps.obs_n, jnp.zeros_like(mps.obs_n[idx])),

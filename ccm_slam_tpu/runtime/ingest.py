@@ -89,8 +89,7 @@ def _lookup(table, idx):
     return jnp.where(ok, table[jnp.clip(idx, 0, table.shape[0] - 1)], -1)
 
 
-@jax.jit
-def server_ingest_batch(m: ms.MapState, tab: IngestTables, kfb, mpb,
+def _server_ingest_core(m: ms.MapState, tab: IngestTables, kfb, mpb,
                         S_s, S_R, S_t, agent_id):
     """Ingest one (keyframe batch, landmark batch) into the server map.
 
@@ -255,6 +254,7 @@ def server_ingest_batch(m: ms.MapState, tab: IngestTables, kfb, mpb,
         mp_ids=mp_id,
         client_id=jnp.full((Bm,), agent_id, jnp.int32),
         new_valid=is_new,
+        inserted_stamp=m.next_kf,   # arrival-time age stamp (mInsertedWithKF)
     )
     p_arena = jnp.where(is_new, new_mp_arena, jnp.where(is_update | is_retired, ka, -1))
     tmp2 = tab.mp_id2arena
@@ -330,6 +330,56 @@ def _pack_pending_jit(batch, pend_mask, capacity: int):
     live = jnp.arange(capacity) < jnp.minimum(n, capacity)
     packed = packed.replace(valid=live)
     return packed, n > capacity
+
+
+server_ingest_batch = jax.jit(_server_ingest_core)
+
+
+def empty_pending(batch, capacity: int):
+    """An all-invalid pending buffer with the same per-item structure as
+    ``batch`` (fixed [capacity] rows)."""
+    return jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + x.shape[1:], x.dtype), batch
+    )
+
+
+@partial(jax.jit, static_argnames=("Pk", "Pm"))
+def server_ingest_full(m: ms.MapState, tab: IngestTables,
+                       finder_db, matcher_db,
+                       pend_kfb, pend_mpb, kfb, mpb, vocab,
+                       S_s, S_R, S_t, agent_id, matcher_base,
+                       Pk: int, Pm: int):
+    """The WHOLE per-message server ingest as one compiled program: pending
+    concat, chain resolution, arena landing, BoW vectors + both
+    place-recognition db registrations, and the pending-buffer repack.  On
+    the tunneled TPU backend every separate dispatch costs ~25 ms of
+    latency; this fuses what used to be ~8 dispatches into one.
+
+    Returns (m', tab', finder_db', matcher_db', pend_kfb', pend_mpb', out);
+    out additionally carries kf_overflow/mp_overflow."""
+    from ..models import keyframe_db as kdb
+
+    kfb = concat_batches.__wrapped__(pend_kfb, kfb)
+    mpb = concat_batches.__wrapped__(pend_mpb, mpb)
+    m, tab, out = _server_ingest_core(m, tab, kfb, mpb, S_s, S_R, S_t, agent_id)
+
+    new_arena = out["new_kf_arena"]
+    new_mask = new_arena >= 0
+    vecs = kdb.batch_vectors.__wrapped__(vocab, m.kfs.desc, m.kfs.feat_valid, new_arena)
+    finder_db = kdb.register_vectors.__wrapped__(
+        finder_db, new_arena, vecs, new_mask, agent_id
+    )
+    rows = jnp.where(new_mask, matcher_base + new_arena, -1)
+    matcher_db = kdb.register_vectors.__wrapped__(
+        matcher_db, rows, vecs, new_mask, agent_id
+    )
+
+    pend_kfb2, kf_over = _pack_pending_jit.__wrapped__(kfb, out["kf_pend"], Pk)
+    pend_mpb2, mp_over = _pack_pending_jit.__wrapped__(mpb, out["mp_pend"], Pm)
+    out = dict(out, kf_over=kf_over, mp_over=mp_over,
+               kf_ids=kfb.kf_id, mp_ids=mpb.mp_id,
+               max_kf_id=tab.max_kf_id, max_mp_id=tab.max_mp_id)
+    return m, tab, finder_db, matcher_db, pend_kfb2, pend_mpb2, out
 
 
 def pack_pending(batch, pend_mask, capacity: int):

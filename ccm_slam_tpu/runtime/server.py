@@ -171,56 +171,29 @@ class Server:
             ag.ing_tables = ing.tables_from_dicts(
                 ag.kf_table, ag.mp_table, cap.kf_id_space, cap.mp_id_space
             )
-        # pending entities re-enter ahead of the fresh batch (the reference
-        # keeps unprocessable entities in its in-buffer across iterations)
-        kfb, mpb = msg.kfs, msg.mps
-        if ag.pending_kfb is not None:
-            kfb = ing.concat_batches(ag.pending_kfb, kfb)
-        if ag.pending_mpb is not None:
-            mpb = ing.concat_batches(ag.pending_mpb, mpb)
-
-        m, ag.ing_tables, out = ing.server_ingest_batch(
-            m, ag.ing_tables, kfb, mpb, S_g.s, S_g.R, S_g.t, jnp.int32(agent_id)
-        )
-
-        # register new keyframes with place recognition — stays on device
-        # (masked batch: BoW transform + scatter in one compiled call each)
-        new_arena_j = out["new_kf_arena"]
-        new_mask = new_arena_j >= 0
-        vecs = kdb_mod.batch_vectors(self.vocab, m.kfs.desc, m.kfs.feat_valid, new_arena_j)
-        self.finders[slot].db = kdb_mod.register_vectors(
-            self.finders[slot].db, new_arena_j, vecs, new_mask, jnp.int32(slot)
-        )
-        rows = jnp.where(new_mask, slot * self.matcher.kf_capacity + new_arena_j, -1)
-        self.matcher.db = kdb_mod.register_vectors(
-            self.matcher.db, rows, vecs, new_mask, jnp.int32(slot)
-        )
-
-        # re-queue pending; overflow forces a client resend via weak ack
+        # fixed-capacity pending buffers (pred/ref-missing entities re-enter
+        # ahead of the fresh batch, like the reference's in-buffer)
         Pk = max(8, int(msg.kfs.valid.shape[0]))
         Pm = max(256, int(msg.mps.valid.shape[0]))
-        kf_pending, kf_over = ing.pack_pending(kfb, out["kf_pend"], Pk)
-        mp_pending, mp_over = ing.pack_pending(mpb, out["mp_pend"], Pm)
-        if kf_pending is not None:
-            ag.pending_kfb = kf_pending
-        if mp_pending is not None:
-            ag.pending_mpb = mp_pending
+        if ag.pending_kfb is None or int(ag.pending_kfb.valid.shape[0]) != Pk:
+            ag.pending_kfb = ing.empty_pending(msg.kfs, Pk)
+        if ag.pending_mpb is None or int(ag.pending_mpb.valid.shape[0]) != Pm:
+            ag.pending_mpb = ing.empty_pending(msg.mps, Pm)
+
+        # ONE compiled call for the whole message: concat + chain resolution
+        # + arena landing + BoW + db registration + pending repack
+        (m, ag.ing_tables, self.finders[slot].db, self.matcher.db,
+         ag.pending_kfb, ag.pending_mpb, out) = ing.server_ingest_full(
+            m, ag.ing_tables, self.finders[slot].db, self.matcher.db,
+            ag.pending_kfb, ag.pending_mpb, msg.kfs, msg.mps, self.vocab,
+            S_g.s, S_g.R, S_g.t, jnp.int32(agent_id),
+            jnp.int32(slot * self.matcher.kf_capacity), Pk=Pk, Pm=Pm,
+        )
 
         # ---- host bookkeeping: ONE device->host transfer per message ----
-        host = jax.device_get(
-            dict(
-                kf_ids=kfb.kf_id, kf_ack=out["kf_ack"],
-                new_arena=out["new_kf_arena"],
-                mp_ids=mpb.mp_id, mp_ack=out["mp_ack"],
-                mp_arena=out["mp_arena"], mp_new=out["mp_new"],
-                weak_kf=out["weak_kf"], weak_mp=out["weak_mp"],
-                kf_over=kf_over, mp_over=mp_over,
-                max_kf_id=ag.ing_tables.max_kf_id,
-                max_mp_id=ag.ing_tables.max_mp_id,
-            )
-        )
+        host = jax.device_get(out)
         kf_ids, kf_ack = host["kf_ids"], host["kf_ack"]
-        new_arena = host["new_arena"]
+        new_arena = host["new_kf_arena"]
         mp_ids, mp_ack = host["mp_ids"], host["mp_ack"]
         is_new_kf = new_arena >= 0
         for kid, arena in zip(kf_ids[is_new_kf], new_arena[is_new_kf]):

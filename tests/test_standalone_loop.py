@@ -35,7 +35,7 @@ from tests.test_tracking_e2e import N_SLOTS
 from ccm_slam_tpu.models.map_store import NO_MP
 
 
-def circuit_trajectory(straight=24, turn=16, v=0.065, pre=10, tail=28):
+def circuit_trajectory(straight=30, turn=16, v=0.18, pre=10, tail=26):
     """Closed rectangular circuit in the XZ plane, camera facing the
     direction of motion, with cosine-eased 90-degree corner turns.
 
@@ -92,8 +92,8 @@ def make_circuit_world(centers, n=4000, seed=5):
     idx = rng.randint(0, len(centers), n)
     base = centers[idx]
     yaw_dir = rng.uniform(0, 2 * np.pi, n)
-    lat = rng.uniform(2.0, 7.0, n)
-    off = np.stack([np.sin(yaw_dir) * lat, rng.uniform(-1.5, 1.5, n), np.cos(yaw_dir) * lat], -1)
+    lat = rng.uniform(4.0, 14.0, n)
+    off = np.stack([np.sin(yaw_dir) * lat, rng.uniform(-3.0, 3.0, n), np.cos(yaw_dir) * lat], -1)
     pts = (base + off).astype(np.float32)
     # canonical direction: from the nearest path point to the landmark
     d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
@@ -117,7 +117,7 @@ def render_circuit_frame(world, T_cw, cam, rng, noise_px=0.8, flip_bits=5,
     dist = np.linalg.norm(view, axis=-1)
     cosv = (view * world.canon).sum(-1) / np.maximum(dist, 1e-9)
     vis = (
-        (z > 1.0) & (dist < 10.0)
+        (z > 2.0) & (dist < 20.0)
         & (uv[:, 0] > 10) & (uv[:, 0] < 742) & (uv[:, 1] > 10) & (uv[:, 1] < 470)
         & (cosv > cos_gate)
     )
