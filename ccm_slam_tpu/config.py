@@ -226,8 +226,13 @@ def rendered_ci_config(factor: float = 0.4) -> SystemConfig:
     carry through tracking + mapping + GBA in minutes instead of hours.
     Full-resolution (752x480) numbers are measured on the TPU chip via
     ``scripts/run_euroc.py --dataset rendered`` and recorded in BASELINE.md."""
+    full = factor >= 0.7
     return SystemConfig(
-        extractor=ExtractorConfig(n_features=400, n_levels=5, cell_size=16),
+        # at (near-)full resolution use the reference extractor budget
+        # (1000 features / 8 levels / 30 px cells, config.yaml:38-51);
+        # reduced-resolution CI keeps a proportional budget
+        extractor=(ExtractorConfig() if full
+                   else ExtractorConfig(n_features=400, n_levels=5, cell_size=16)),
         camera=scaled_camera(factor=factor),
         # reduced-resolution tracking is noisier -> the weakness condition
         # (c2) fires near frame rate; MinFrames=2 rate-limits keyframe
@@ -236,11 +241,11 @@ def rendered_ci_config(factor: float = 0.4) -> SystemConfig:
         tracking=TrackingConfig(min_frames=2),
         mapping=MappingConfig(second_fuse_pass=False, red_thres=0.92),
         capacity=CapacityConfig(
-            max_keypoints=512,
+            max_keypoints=1024 if full else 512,
             client_max_kfs=160,
-            client_max_mps=14336,
+            client_max_mps=24576 if full else 14336,
             server_max_kfs=256,
-            server_max_mps=24576,
+            server_max_mps=32768 if full else 24576,
             max_obs_per_mp=16,
             covis_neighbors=16,
         ),

@@ -72,7 +72,8 @@ def cull_mappoints_server(m: ms.MapState, cfg: SystemConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
 def triangulate_new_points(
-    m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10, next_mp_id=None
+    m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: int = 10,
+    next_mp_id=None, client_id=0,
 ):
     """Epipolar search + triangulation against the top covisible neighbors
     (CreateNewMapPoints).  Returns (map', n_created)."""
@@ -194,7 +195,7 @@ def triangulate_new_points(
             max_dist=max_d,
             ref_kf=jnp.full((N,), kf_idx, jnp.int32),
             mp_ids=next_mp_id + total + jnp.cumsum(good.astype(jnp.int32)) - 1,
-            client_id=jnp.full((N,), 0, jnp.int32),
+            client_id=jnp.full((N,), client_id, jnp.int32),
             new_valid=good,
         )
         # forward links in both keyframes (collision-free: feature slots unique)

@@ -165,7 +165,8 @@ class Tracker:
             return None
         self.rng, key = jax.random.split(self.rng)
         m, f_ref, f_cur, success, n_good = tracking.initialize_map(
-            key, self.ref_frame, frame, idx, ok, self.cam, self.cfg
+            key, self.ref_frame, frame, idx, ok, self.cam, self.cfg,
+            client_id=jnp.int32(self.client_id),
         )
         if not bool(success) or int(n_good) < 80:
             self.trajectory.append(None)
@@ -318,7 +319,8 @@ class Tracker:
                 self.map, jnp.int32(self.next_kf_id - 1), cfg
             )
             self.map, n_new = mapping.triangulate_new_points(
-                self.map, jnp.int32(k), self.cam, cfg
+                self.map, jnp.int32(k), self.cam, cfg,
+                client_id=jnp.int32(self.client_id),
             )
             self.stats["mp_created"] += int(n_new)
             self.map, _, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)

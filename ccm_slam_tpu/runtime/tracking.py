@@ -49,7 +49,7 @@ def match_for_initialization(f_ref: Frame, f_cur: Frame, cfg: SystemConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cfg: SystemConfig):
+def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cfg: SystemConfig, client_id=0):
     """Two-view bootstrap + initial map construction + full BA + median-depth
     normalization (MonocularInitialization + CreateInitialMapMonocular).
 
@@ -87,13 +87,13 @@ def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cf
         max_dist=jnp.full(N, jnp.inf),
         ref_kf=jnp.ones(N, jnp.int32),  # KF1
         mp_ids=jnp.arange(N, dtype=jnp.int32),
-        client_id=jnp.zeros(N, jnp.int32),
+        client_id=jnp.full((N,), client_id, jnp.int32),
         new_valid=good,
     )
 
     # keyframe 0: identity; associations at ref-frame feature slots
     m, k0 = ms.add_keyframe(
-        m, jnp.int32(0), jnp.int32(0), f_ref.timestamp,
+        m, jnp.int32(0), jnp.int32(client_id), f_ref.timestamp,
         jnp.eye(3), jnp.zeros(3),
         f_ref.xy, f_ref.desc, f_ref.octave, f_ref.angle, f_ref.valid,
         mp_assoc=mp_idx,
@@ -103,7 +103,7 @@ def initialize_map(key, f_ref: Frame, f_cur: Frame, match_idx, match_ok, cam, cf
     tgt = jnp.where(good, cur_feat, N - 1)
     assoc1 = assoc1.at[tgt].add(jnp.where(good, mp_idx - assoc1[tgt], 0))
     m, k1 = ms.add_keyframe(
-        m, jnp.int32(1), jnp.int32(0), f_cur.timestamp,
+        m, jnp.int32(1), jnp.int32(client_id), f_cur.timestamp,
         out["R"], t_kf1,
         f_cur.xy, f_cur.desc, f_cur.octave, f_cur.angle, f_cur.valid,
         mp_assoc=assoc1,

@@ -44,6 +44,9 @@ def main():
                          "dispatch (per-chip multi-agent scaling; "
                          "benchmarks/client_throughput.py)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--server", action="store_true",
+                    help="run the central server even for a single agent "
+                         "(loop closing + GBA, BASELINE config 2)")
     ap.add_argument("--traj-format", default="tum", choices=["tum", "euroc"],
                     help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
@@ -110,7 +113,7 @@ def main():
 
     server = None
     comm_states = None
-    if n_agents > 1:
+    if n_agents > 1 or args.server:
         # vocabulary: pretrained, or trained on the first frames' descriptors
         if args.vocab:
             vocab = ckpt.load_vocabulary(args.vocab)
