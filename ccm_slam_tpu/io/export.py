@@ -82,14 +82,14 @@ def export_pointcloud_ply(path: str, m: ms.MapState) -> int:
     return len(pos)
 
 
-def export_scene_json(path: str, m: ms.MapState, covis_min_weight: int = 100) -> dict:
-    """Keyframe trajectories per agent + covisibility edges + loop edges as a
-    JSON scene (PubTrajectories + PubCovGraph + loop markers)."""
+def scene_dict(m: ms.MapState, covis_min_weight: int = 100) -> dict:
+    """Build the JSON-able scene graph: keyframe trajectories per agent +
+    covisibility edges + loop edges (PubTrajectories + PubCovGraph + loop
+    markers).  Shared by the file exporter and the live viewer."""
     alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
     centers = np.asarray(m.kfs.center())
     ids = np.asarray(m.kfs.kf_id)
     clients = np.asarray(m.kfs.client_id)
-    order = np.asarray(m.kfs.insert_order)
 
     agents = {}
     for k in np.where(alive)[0]:
@@ -105,21 +105,16 @@ def export_scene_json(path: str, m: ms.MapState, covis_min_weight: int = 100) ->
     }
 
     W = np.asarray(ms.covisibility_matrix(m))
-    edges = []
-    K = W.shape[0]
-    for a in range(K):
-        if not alive[a]:
-            continue
-        for b in range(a + 1, K):
-            if alive[b] and W[a, b] >= covis_min_weight:
-                edges.append([int(a), int(b), int(W[a, b])])
+    both = np.outer(alive, alive)
+    ab = np.argwhere(np.triu(both & (W >= covis_min_weight), k=1))
+    edges = [[int(a), int(b), int(W[a, b])] for a, b in ab]
 
     loops = []
     loop_edge = np.asarray(m.kfs.loop_edge)
     for k in np.where(alive & (loop_edge >= 0))[0]:
         loops.append([int(k), int(loop_edge[k])])
 
-    scene = {
+    return {
         "n_keyframes": int(alive.sum()),
         "n_landmarks": int(np.asarray(m.mps.valid & ~m.mps.bad).sum()),
         "trajectories": trajectories,
@@ -128,6 +123,11 @@ def export_scene_json(path: str, m: ms.MapState, covis_min_weight: int = 100) ->
         "loop_edges": loops,
         "keyframe_centers": {str(int(k)): centers[k].tolist() for k in np.where(alive)[0]},
     }
+
+
+def export_scene_json(path: str, m: ms.MapState, covis_min_weight: int = 100) -> dict:
+    """Write ``scene_dict`` to a JSON file."""
+    scene = scene_dict(m, covis_min_weight)
     with open(path, "w") as f:
         json.dump(scene, f)
     return scene

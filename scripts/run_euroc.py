@@ -51,6 +51,10 @@ def main():
                     help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
                     help="dump the parameter tree at startup (params::ShowParams)")
+    ap.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
+                    help="stream the live scene + annotated camera frame at "
+                         "http://127.0.0.1:PORT/ (the reference Viewer's RViz "
+                         "surface; 0 picks a free port)")
     args = ap.parse_args()
 
     import jax
@@ -130,6 +134,13 @@ def main():
             )
             for _ in range(n_agents)
         ]
+
+    viewer = None
+    if args.live_viewer is not None:
+        from ccm_slam_tpu.io.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.live_viewer)
+        print(f"live viewer: {viewer.url}")
 
     iters = [iter(s.frames(start=st, limit=args.limit)) for s, st in zip(seqs, starts)]
     live = [True] * n_agents
@@ -213,11 +224,25 @@ def main():
                                 server.mapping_step(i, ag.kf_table[kf_id])
         if server is not None:
             server.idle_step()
+        if viewer is not None and 0 in processed and frame_count[0] % pub_every == 0:
+            if server is not None and trackers[0].map is not None:
+                viewer.publish_map(server.maps[server.agents[0].map_slot])
+            elif trackers[0].map is not None:
+                viewer.publish_map(trackers[0].map)
+            raw0 = next((fr for i, fr in pending if i == 0), None)
+            if raw0 is not None and trackers[0].last_frame is not None:
+                viewer.publish_frame(raw0.image, trackers[0].last_frame)
 
     # final GBA on quiescence
     if server is not None:
         for _ in range(server.quiescence_steps + 2):
             server.idle_step()
+
+    if viewer is not None:  # final (post-GBA) scene
+        if server is not None and trackers[0].map is not None:
+            viewer.publish_map(server.maps[server.agents[0].map_slot])
+        elif trackers[0].map is not None:
+            viewer.publish_map(trackers[0].map)
 
     # outputs
     t_sc = np.asarray(cfg.camera.t_sc)
@@ -265,6 +290,16 @@ def main():
         ckpt.save_map(os.path.join(args.out, "map_0.npz"), trackers[0].map)
         export.export_pointcloud_ply(os.path.join(args.out, "map_0.ply"), trackers[0].map)
         export.export_scene_json(os.path.join(args.out, "scene_0.json"), trackers[0].map)
+
+    if viewer is not None and sys.stdin.isatty():
+        import time
+
+        print(f"live viewer still serving at {viewer.url} — Ctrl-C to exit")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
 
 
 if __name__ == "__main__":
