@@ -181,9 +181,11 @@ def main():
     out = timed("correct_loop_plus_essential_graph", lambda: lc.correct_loop(
         m, jnp.int32(kf_q), jnp.int32(kf_c), est["S_qc"], cam, cfg,
         loop_mask=gp[1], gp_t_idx=gp[2], gp_okm=gp[3]))
-    m2, cost = out
+    m2, cost, cl_info = out
     errs = ms.check_structure(m2)
     print(json.dumps({"stage": "done", "ess_cost": float(cost),
+                      "covis_edges": int(cl_info["covis_edges"]),
+                      "covis_edges_dropped": int(cl_info["covis_edges_dropped"]),
                       "structure_errors": len(errs)}), flush=True)
 
 

@@ -595,7 +595,21 @@ def erase_keyframes(m: MapState, kf_mask) -> MapState:
     obs_valid = obs_kf >= 0
     within = jnp.arange(mps.max_obs)[None, :] < mps.obs_n[:, None]
     obs_n = jnp.sum((obs_valid & within).astype(jnp.int32), axis=1)
-    return m.replace(kfs=kfs, mps=mps.replace(obs_kf=obs_kf, obs_n=obs_n))
+    # reference-KF fixup (MapPoint::EraseObservation, cslam/src/MapPoint.cpp:
+    # mpRefKF follows the first surviving observation when its KF dies; a
+    # landmark left with no observations dies with it) — alive landmarks must
+    # always reference an alive keyframe (check_structure invariant)
+    ref_dead = (mps.ref_kf >= 0) & kf_mask[jnp.clip(mps.ref_kf, 0, kfs.capacity - 1)]
+    slot_ok = obs_valid & within
+    has_obs = slot_ok.any(axis=1)
+    first = jnp.argmax(slot_ok, axis=1)
+    new_ref = jnp.where(has_obs, obs_kf[jnp.arange(mps.capacity), first], NO_KF)
+    ref2 = jnp.where(ref_dead, new_ref, mps.ref_kf)
+    bad2 = mps.bad | (mps.valid & ref_dead & ~has_obs)
+    return m.replace(
+        kfs=kfs,
+        mps=mps.replace(obs_kf=obs_kf, obs_n=obs_n, ref_kf=ref2, bad=bad2),
+    )
 
 
 def rebuild_observations(m: MapState) -> MapState:

@@ -272,8 +272,11 @@ def correct_loop(
     # strong covisibility edges (weight >= ess_graph_min_feats), upper triangle
     strong = (W >= cfg.opt.ess_graph_min_feats) & alive[:, None] & alive[None, :]
     strong = jnp.triu(strong, 1)
-    # flatten to a bounded edge list: top E pairs by weight
+    # flatten to a bounded edge list: top E pairs by weight.  The cap is NOT
+    # silent: the count of strong edges beyond it is surfaced in `info` and
+    # logged by the host callers (repo no-silent-caps rule)
     E_cov = K * 4
+    n_strong = jnp.sum(strong)
     flat_w = jnp.where(strong, W, 0).reshape(-1)
     topw, topi = jax.lax.top_k(flat_w, E_cov)
     e2_i = (topi // K).astype(jnp.int32)
@@ -329,7 +332,11 @@ def correct_loop(
         pos=jnp.where(mp_ok[:, None], X_final, pos2),
         pos_version=mps.pos_version + 1,
     )
-    return m.replace(kfs=kfs2, mps=mps2), cost
+    info = {
+        "covis_edges": n_strong,
+        "covis_edges_dropped": jnp.maximum(0, n_strong - E_cov),
+    }
+    return m.replace(kfs=kfs2, mps=mps2), cost, info
 
 
 # ---------------------------------------------------------------------------
@@ -427,10 +434,19 @@ class LoopFinder:
             )
             if int(n_total) < self.cfg.placerec.total_matches_thres:
                 continue
-            m, cost = correct_loop(
+            # no-silent-caps: the guided projection only sees the candidate's
+            # top-10 covisible neighbors (LoopFinder.cpp:355 vicinity)
+            n_nbr = int(jnp.sum(covis_W[cand] > 0))
+            if n_nbr > 10:
+                print(f"[loop] guided projection truncated candidate "
+                      f"vicinity {n_nbr} -> 10 neighbors")
+            m, cost, info = correct_loop(
                 m, jnp.int32(kf_idx), jnp.int32(cand), est["S_qc"], self.cam, self.cfg,
                 loop_mask=loop_mask, gp_t_idx=t_idx, gp_okm=okm,
             )
+            if int(info["covis_edges_dropped"]) > 0:
+                print(f"[loop] essential graph kept top {int(info['covis_edges'])-int(info['covis_edges_dropped'])} "
+                      f"of {int(info['covis_edges'])} strong covisibility edges")
             self.last_loop_kf_id = int(m.kfs.kf_id[kf_idx])
             self.prev_groups = []
             return m, True

@@ -191,10 +191,14 @@ class MapMatcher:
             T_q = SE3(R=kfs_f.R_cw[kf_off], t=kfs_f.t_cw[kf_off]).to_sim3()
             T_c = SE3(R=kfs_f.R_cw[kf_b], t=kfs_f.t_cw[kf_b]).to_sim3()
             S_qc_fused = T_q.compose(T_c.inverse())
-            fused, _ = correct_loop(
+            fused, _, cl_info = correct_loop(
                 fused, jnp.int32(kf_off), jnp.int32(kf_b), S_qc_fused, self.cam,
                 self.cfg, loop_mask=loop_mask, gp_t_idx=t_idx, gp_okm=okm,
             )
+            if int(cl_info["covis_edges_dropped"]) > 0:
+                print(f"[merge] essential graph dropped "
+                      f"{int(cl_info['covis_edges_dropped'])} of "
+                      f"{int(cl_info['covis_edges'])} strong covisibility edges")
             kf_remap, mp_remap = ms.compaction_remap(m_a)
             return MergeResult(
                 fused=fused, S_from_to=S_ba, kf_offset=int(m_b.next_kf),

@@ -350,7 +350,7 @@ def _fuse_subset(m, target_kf, cand_idx, cand_ok, cam, cfg,
     loser = jnp.where(dup_hit, jnp.where(cand_wins, ex_safe, ci), -1)
     winner = jnp.where(dup_hit, jnp.where(cand_wins, ci, ex_safe), -1)
     m = ms.replace_mappoints(m, loser, winner, rebuild=rebuild)
-    return m, jnp.sum(free_hit), jnp.sum(dup_hit)
+    return m, jnp.sum(free_hit), jnp.sum(dup_hit), loser, winner
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
@@ -379,26 +379,46 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
         jnp.clip(own, 0, m.mps.capacity - 1)
     ].max(own >= 0)
     cand_ok = cand_ok & ~in_target[ci]
-    m, n_add, n_merge = _fuse_subset(m, kf_idx, cand_idx, cand_ok, cam, cfg,
-                                     rebuild=False)
+
+    # loser->winner redirect table accumulated across the whole pass, so the
+    # tracker can implement CheckReplacedInLastFrame (Tracking.cpp:469):
+    # last-frame associations to fused-away landmarks follow their winner
+    # instead of silently dying with the loser's bad flag
+    Mcap = m.mps.capacity
+    redirect = jnp.arange(Mcap, dtype=jnp.int32)
+
+    def _compose(redirect, loser, winner):
+        act = (loser >= 0) & (winner >= 0) & (loser != winner)
+        safe_l = jnp.where(act, loser, Mcap - 1)
+        # active losers are unique within a pass (targets deduped); inactive
+        # lanes write delta 0 at the sentinel slot — collision-safe add
+        step = jnp.arange(Mcap, dtype=jnp.int32).at[safe_l].add(
+            jnp.where(act, winner - safe_l, 0)
+        )
+        return step[redirect]
+
+    m, n_add, n_merge, lo, wi = _fuse_subset(m, kf_idx, cand_idx, cand_ok,
+                                             cam, cfg, rebuild=False)
+    redirect = _compose(redirect, lo, wi)
 
     # reverse direction: project the target's landmarks into each neighbor
     own2 = m.kfs.mp_idx[kf_idx]
     own_ok0 = own2 >= 0
     for i in range(n_neighbors):
         nb = nbr_idx[i]
-        mm, a, g = _fuse_subset(m, nb, own2, own_ok0 & (nbr_w[i] > 0), cam, cfg,
-                                rebuild=False)
+        mm, a, g, lo, wi = _fuse_subset(m, nb, own2, own_ok0 & (nbr_w[i] > 0),
+                                        cam, cfg, rebuild=False)
         m = mm
         n_add = n_add + a
         n_merge = n_merge + g
+        redirect = _compose(redirect, lo, wi)
 
     # one deferred rebuild restores the forward/reverse invariant for the
     # whole pass (each _fuse_subset only rewrote forward links + bad flags)
     m = ms.rebuild_observations(m)
     m = ms.update_normal_and_depth(m, sf, cfg.extractor.n_levels)
     m = ms.compute_distinctive_descriptors(m)
-    return m, n_add, n_merge
+    return m, n_add, n_merge, redirect
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -228,7 +228,7 @@ class Server:
         # Mapping.cpp:123-196: ProcessNewKeyFrame -> MapPointCullingServer ->
         # SearchInNeighbors)
         m, _ = mapping_mod.cull_mappoints_server(m, self.cfg)
-        m, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
+        m, _, _, _ = mapping_mod.fuse_neighbors(m, jnp.int32(new_kf_arena), self.cam, self.cfg)
         if self.cfg.mapping.red_thres < 1.0:
             # server keyframe redundancy culling (KeyFrameCullingV3 gate);
             # culled rows must leave the place-recognition databases too

@@ -323,7 +323,8 @@ class Tracker:
                 client_id=jnp.int32(self.client_id),
             )
             self.stats["mp_created"] += int(n_new)
-            self.map, _, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+            self.map, _, _, redir = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+            self._check_replaced(redir)
             if self.enable_trimming:
                 self.map, _ = mapping.trim_keyframes(self.map, cfg)
             self.map, cost, n_good, n_trunc = mapping.local_ba(
@@ -333,7 +334,8 @@ class Tracker:
                 # second fuse pass on the refined geometry: landmarks whose
                 # depth error pushed them outside the tight pre-BA fuse window
                 # get re-observed in the new KF, then a short BA refines them
-                self.map, n_re, _ = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+                self.map, n_re, _, redir = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
+                self._check_replaced(redir)
                 if int(n_re) > 0:
                     self.map, cost, n_good, n_trunc = mapping.local_ba(
                         self.map, jnp.int32(k), self.cam, cfg, iters=8
@@ -369,6 +371,29 @@ class Tracker:
                 remap = jnp.asarray(mp_remap, jnp.int32)
                 new = jnp.where(old >= 0, remap[jnp.clip(old, 0, remap.shape[0] - 1)], ms.NO_MP)
                 self.last_frame = self.last_frame.replace(mp=new)
+
+    def _check_replaced(self, redirect):
+        """CheckReplacedInLastFrame (cslam/src/Tracking.cpp:469): route the
+        last frame's landmark associations through the fuse pass's
+        loser->winner table, so motion-model tracking keeps (not drops) the
+        seeds whose landmarks were just merged away."""
+        if self.last_frame is None:
+            return
+        old = jnp.asarray(self.last_frame.mp)
+        cap = redirect.shape[0]
+        new = jnp.where(old >= 0, redirect[jnp.clip(old, 0, cap - 1)], old)
+        # dedup: if the frame observed both loser and winner, redirecting
+        # creates two features on one landmark — keep the first (the same
+        # rule as replace_mappoints), or the next create_keyframe would copy
+        # a duplicate forward link into the arena (check_structure violation)
+        order = jnp.argsort(jnp.where(new >= 0, new, cap + 1), stable=True)
+        srt = new[order]
+        dup_srt = jnp.concatenate(
+            [jnp.zeros((1,), bool), srt[1:] == srt[:-1]]
+        ) & (srt >= 0)
+        dup = jnp.zeros_like(dup_srt).at[order].set(dup_srt)
+        new = jnp.where(dup, ms.NO_MP, new)
+        self.last_frame = self.last_frame.replace(mp=new)
 
     def _find_kf_slot(self, kf_id: int) -> int:
         ids = self.map.kfs.kf_id

@@ -42,7 +42,9 @@ if os.environ.get("NO_BA"):
     _mp.local_ba = lambda m, k, cam, cfg, iters=15: (m, jnp.float32(0.0), jnp.int32(0))
 if os.environ.get("NO_FUSE"):
     from ccm_slam_tpu.runtime import mapping as _mp2
-    _mp2.fuse_neighbors = lambda m, k, cam, cfg, n_neighbors=10: (m, jnp.int32(0), jnp.int32(0))
+    _mp2.fuse_neighbors = lambda m, k, cam, cfg, n_neighbors=10: (
+        m, jnp.int32(0), jnp.int32(0),
+        jnp.arange(m.mps.capacity, dtype=jnp.int32))
 
 prev_c = None
 prev_gt = None

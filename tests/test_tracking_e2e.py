@@ -248,3 +248,86 @@ class TestMultiOctaveTracking:
         assert len(est) >= 0.8 * len(poses)
         rmse, _ = ate_rmse(np.stack(est), np.stack(gt))
         assert rmse < 0.1, rmse
+
+
+class TestCheckReplaced:
+    """CheckReplacedInLastFrame semantics (cslam/src/Tracking.cpp:469): when
+    a fuse pass merges away a landmark the last frame observes, the
+    association must be redirected to the winner, not dropped."""
+
+    def test_fuse_redirect_and_last_frame(self, tracked_run):
+        from ccm_slam_tpu.runtime import mapping
+
+        tracker, _, _ = tracked_run
+        m = tracker.map
+        Mcap = m.mps.capacity
+        k = tracker.ref_kf
+
+        # pick a feature in the current keyframe with an alive landmark p
+        row = np.asarray(m.kfs.mp_idx[k])
+        fv = np.asarray(m.kfs.feat_valid[k])
+        alive = np.asarray(m.mps.valid & ~m.mps.bad)
+        cand_feats = np.where((row >= 0) & fv & alive[np.clip(row, 0, Mcap - 1)]
+                              & (np.asarray(m.mps.obs_n)[np.clip(row, 0, Mcap - 1)] >= 2))[0]
+        assert len(cand_feats) > 0
+        f = int(cand_feats[0])
+        p = int(row[f])
+
+        # covisible neighbor with a free feature slot
+        from ccm_slam_tpu.models import map_store as ms
+
+        W = np.asarray(ms.covisibility_matrix(m))
+        nbrs = np.argsort(W[k])[::-1]
+        nb = int(nbrs[0])
+        assert W[k, nb] > 0
+        nb_row = np.asarray(m.kfs.mp_idx[nb])
+        nb_fv = np.asarray(m.kfs.feat_valid[nb])
+        free = np.where((nb_row < 0) & nb_fv)[0]
+        assert len(free) > 0
+        g = int(free[0])
+
+        # plant a duplicate landmark q (same geometry/descriptor as p) seen
+        # only by the neighbor: the fuse pass must merge q into p
+        q = int(m.next_mp)
+        assert q < Mcap
+        mps = m.mps
+        mps2 = mps.replace(
+            valid=mps.valid.at[q].set(True),
+            bad=mps.bad.at[q].set(False),
+            pos=mps.pos.at[q].set(mps.pos[p]),
+            normal=mps.normal.at[q].set(mps.normal[p]),
+            desc=mps.desc.at[q].set(mps.desc[p]),
+            min_dist=mps.min_dist.at[q].set(mps.min_dist[p]),
+            max_dist=mps.max_dist.at[q].set(mps.max_dist[p]),
+            ref_kf=mps.ref_kf.at[q].set(nb),
+        )
+        kfs2 = m.kfs.replace(mp_idx=m.kfs.mp_idx.at[nb, g].set(q))
+        m2 = ms.rebuild_observations(
+            m.replace(mps=mps2, kfs=kfs2, next_mp=jnp.int32(q + 1))
+        )
+        assert int(m2.mps.obs_n[q]) == 1
+
+        m3, n_add, n_merge, redir = mapping.fuse_neighbors(
+            m2, jnp.int32(k), tracker.cam, tracker.cfg
+        )
+        redir = np.asarray(redir)
+        iden = np.arange(Mcap)
+        moved = redir != iden
+        # q lost the merge (fewer observations than p) and redirects to p
+        assert moved[q], "planted duplicate was not fused"
+        assert redir[q] == p
+        assert bool(m3.mps.bad[q])
+        # every moved entry is now bad and points at an alive landmark
+        alive3 = np.asarray(m3.mps.valid & ~m3.mps.bad)
+        assert np.asarray(m3.mps.bad)[moved].all()
+        assert alive3[redir[moved]].all()
+
+        # the tracker plumbing: a last frame observing q follows it to p
+        lf = tracker.last_frame
+        saved = lf
+        try:
+            tracker.last_frame = lf.replace(mp=lf.mp.at[0].set(q))
+            tracker._check_replaced(jnp.asarray(redir))
+            assert int(tracker.last_frame.mp[0]) == p
+        finally:
+            tracker.last_frame = saved
