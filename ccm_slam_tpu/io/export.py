@@ -110,9 +110,11 @@ def scene_dict(m: ms.MapState, covis_min_weight: int = 100) -> dict:
     edges = [[int(a), int(b), int(W[a, b])] for a, b in ab]
 
     loops = []
-    loop_edge = np.asarray(m.kfs.loop_edge)
-    for k in np.where(alive & (loop_edge >= 0))[0]:
-        loops.append([int(k), int(loop_edge[k])])
+    loop_edges = np.asarray(m.kfs.loop_edges)  # [K,L] multi-edge table
+    for k in np.where(alive & (loop_edges >= 0).any(axis=1))[0]:
+        for e in loop_edges[k][loop_edges[k] >= 0]:
+            if k < int(e):  # undirected: stored on both endpoints
+                loops.append([int(k), int(e)])
 
     return {
         "n_keyframes": int(alive.sum()),

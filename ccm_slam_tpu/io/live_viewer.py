@@ -123,8 +123,14 @@ class LiveViewer:
                     self._send(200, "text/html", _PAGE.encode())
                 elif url.path == "/scene":
                     q = parse_qs(url.query)
-                    since = int(q.get("since", ["-1"])[0])
-                    timeout = float(q.get("timeout", ["10"])[0])
+                    try:
+                        since = int(q.get("since", ["-1"])[0])
+                        timeout = float(q.get("timeout", ["10"])[0])
+                    except ValueError:
+                        self._send(400, "text/plain", b"bad query")
+                        return
+                    # clamp so one client cannot pin a handler thread
+                    timeout = min(max(timeout, 0.0), 30.0)
                     with viewer._cond:
                         if viewer._version <= since:
                             viewer._cond.wait(timeout)

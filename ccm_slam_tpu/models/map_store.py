@@ -32,6 +32,10 @@ from flax import struct
 
 NO_MP = jnp.int32(-1)
 NO_KF = jnp.int32(-1)
+# per-keyframe loop-edge table width (mspLoopEdges is an unbounded set in the
+# reference, KeyFrame.h; a KF participating in E closures needs E slots — one
+# per lap of a loop world.  Overflow is surfaced, never silent.)
+MAX_LOOP_EDGES = 4
 
 
 @struct.dataclass
@@ -56,7 +60,8 @@ class KeyFrameStore:
     # associations + graph
     mp_idx: jnp.ndarray      # [K,N] int32 landmark arena index or NO_MP
     parent: jnp.ndarray      # [K] int32 spanning-tree parent arena idx or NO_KF
-    loop_edge: jnp.ndarray   # [K] int32 loop-closure partner or NO_KF
+    loop_edges: jnp.ndarray  # [K,L] int32 loop-closure partners or NO_KF
+                             # (mspLoopEdges, KeyFrame.h — a SET per KF)
 
     @property
     def capacity(self):
@@ -129,7 +134,7 @@ def empty_map(capacity_kfs: int, capacity_mps: int, n_feat: int, max_obs: int) -
         feat_valid=jnp.zeros((K, N), bool),
         mp_idx=jnp.full((K, N), NO_MP, jnp.int32),
         parent=jnp.full((K,), NO_KF, jnp.int32),
-        loop_edge=jnp.full((K,), NO_KF, jnp.int32),
+        loop_edges=jnp.full((K, MAX_LOOP_EDGES), NO_KF, jnp.int32),
     )
     mps = MapPointStore(
         mp_id=jnp.full((M,), -1, jnp.int32),
@@ -482,6 +487,72 @@ def covis_row(m: MapState, kf_idx) -> jnp.ndarray:
     return jnp.where(alive, row, 0)
 
 
+def add_loop_edge(kfs: KeyFrameStore, a, b):
+    """Record an undirected loop edge in BOTH endpoints' fixed-size tables
+    (KeyFrame::AddLoopEdge — the reference keeps a set ``mspLoopEdges`` per
+    KF and new closures append, LoopFinder.cpp:647-665).  Duplicates are
+    no-ops.  Returns (kfs', n_dropped) — n_dropped > 0 means an endpoint's
+    table was full (callers surface it; no silent caps)."""
+
+    def app(tbl, i, v):
+        row = tbl[i]
+        dup = jnp.any(row == v)
+        free = row < 0
+        has_free = jnp.any(free)
+        slot = jnp.argmax(free)
+        can = has_free & ~dup
+        tbl = tbl.at[i, slot].add(jnp.where(can, v - row[slot], 0))
+        return tbl, jnp.where(~dup & ~has_free, 1, 0)
+
+    tbl, d1 = app(kfs.loop_edges, a, b)
+    tbl, d2 = app(tbl, b, a)
+    return kfs.replace(loop_edges=tbl), d1 + d2
+
+
+@partial(jax.jit, static_argnames=("max_kfs", "hops"))
+def vicinity_khop(m: MapState, root, max_kfs: int, hops: int = 4):
+    """k-hop covisibility expansion from ``root`` in ONE compiled call — the
+    selection step of Map::PackVicinityToMsg (cslam/src/Map.cpp:1065-1155,
+    BFS over covisibility from the agent's current KF) without the per-row
+    host dispatches.  Two scatters per hop (forward links -> landmark set,
+    reverse obs -> neighbor set) instead of one covis_row per visited KF.
+
+    Returns (sel [max_kfs] arena indices, sel_valid [max_kfs]) ordered by
+    (hop asc, root-covisibility desc, newest first) — BFS-like priority."""
+    kfs, mps = m.kfs, m.mps
+    K, N = kfs.capacity, kfs.n_feat
+    M, O = mps.capacity, mps.max_obs
+    alive = kfs.valid & ~kfs.bad
+    unreached = jnp.int32(K + 1)
+    hop = jnp.where(jnp.arange(K) == root, 0, unreached)
+
+    mp = jnp.clip(kfs.mp_idx, 0, M - 1)
+    mp_has = (kfs.mp_idx >= 0) & kfs.feat_valid & alive[:, None]
+    lm_alive = mps.valid & ~mps.bad
+    okf = jnp.clip(mps.obs_kf, 0, K - 1)
+    obs_ok = (jnp.arange(O)[None, :] < mps.obs_n[:, None]) & (mps.obs_kf >= 0)
+
+    def body(h, hop):
+        frontier = hop == h
+        lm = jnp.zeros((M,), bool).at[mp.reshape(-1)].max(
+            (mp_has & frontier[:, None]).reshape(-1)
+        ) & lm_alive
+        nb = jnp.zeros((K,), bool).at[okf.reshape(-1)].max(
+            (obs_ok & lm[:, None]).reshape(-1)
+        )
+        return jnp.where(nb & alive & (hop > h + 1), h + 1, hop)
+
+    hop = jax.lax.fori_loop(0, hops, body, hop)
+    w_root = covis_row(m, root)
+    # lexicographic order via successive stable sorts, least-significant
+    # key first (int64 packing would need x64)
+    o = jnp.argsort(-kfs.insert_order, stable=True)
+    o = o[jnp.argsort(-w_root[o], stable=True)]
+    o = o[jnp.argsort(hop[o], stable=True)]
+    sel = o[:max_kfs]
+    return sel, hop[sel] <= hops
+
+
 def covis_neighbors(W, kf_idx, top_k: int, min_weight: int = 15):
     """Top-K covisible neighbors of a keyframe (weight >= 15 rule,
     KeyFrame.cpp:673).  Returns (idx [top_k], weight [top_k], valid [top_k])."""
@@ -605,9 +676,16 @@ def erase_keyframes(m: MapState, kf_mask) -> MapState:
     first = jnp.argmax(slot_ok, axis=1)
     new_ref = jnp.where(has_obs, obs_kf[jnp.arange(mps.capacity), first], NO_KF)
     ref2 = jnp.where(ref_dead, new_ref, mps.ref_kf)
-    bad2 = mps.bad | (mps.valid & ref_dead & ~has_obs)
+    newly_bad = mps.valid & ref_dead & ~has_obs & ~mps.bad
+    bad2 = mps.bad | newly_bad
+    # detach forward links to landmarks newly killed by the ref-KF fixup —
+    # an alive KF may still hold an over-cap forward link (dropped from the
+    # reverse table) that would otherwise dangle until the next rebuild
+    tgt = jnp.clip(kfs.mp_idx, 0, mps.capacity - 1)
+    dangling = newly_bad[tgt] & (kfs.mp_idx >= 0)
+    mp_idx2 = jnp.where(dangling, NO_MP, kfs.mp_idx)
     return m.replace(
-        kfs=kfs,
+        kfs=kfs.replace(mp_idx=mp_idx2),
         mps=mps.replace(obs_kf=obs_kf, obs_n=obs_n, ref_kf=ref2, bad=bad2),
     )
 
@@ -675,11 +753,15 @@ def replace_mappoints(m: MapState, loser, winner, rebuild: bool = True) -> MapSt
     B = loser.shape[0]
     Mcap = m.mps.capacity
     act = (loser >= 0) & (winner >= 0) & (loser != winner)
-    # redirect table old->new (one hop; callers must not chain losers)
+    # redirect table old->new (one hop; callers must not chain losers).
+    # Single-winner max scatter: callers whose loser lanes collide (a landmark
+    # losing both as a candidate and as a displaced `existing` in one batch)
+    # get a deterministic winner instead of a garbage summed index
     safe_l = jnp.where(act, loser, Mcap - 1)
-    redirect = jnp.arange(Mcap, dtype=jnp.int32).at[safe_l].add(
-        jnp.where(act, winner - safe_l, 0)
+    won = jnp.full((Mcap,), -1, jnp.int32).at[safe_l].max(
+        jnp.where(act, winner, -1)
     )
+    redirect = jnp.where(won >= 0, won, jnp.arange(Mcap, dtype=jnp.int32))
     kfs = m.kfs
     old = kfs.mp_idx
     has = old >= 0
@@ -739,7 +821,7 @@ def compact_map(m: MapState) -> MapState:
         bad=jnp.zeros((K,), bool),
         mp_idx=_lookup(mp_remap, kfs2.mp_idx, NO_MP),
         parent=_lookup(kf_remap, kfs2.parent, NO_KF),
-        loop_edge=_lookup(kf_remap, kfs2.loop_edge, NO_KF),
+        loop_edges=_lookup(kf_remap, kfs2.loop_edges, NO_KF),
     )
     # permute landmark fields
     mps2 = jax.tree.map(lambda x: x[mp_perm], mps)
@@ -829,7 +911,8 @@ def merge_maps(m_into: MapState, m_from: MapState, s, R, t) -> MapState:
         return jnp.where(x >= 0, x + nm, x)
 
     bk = bk.replace(
-        mp_idx=off_mp(bk.mp_idx), parent=off_kf(bk.parent), loop_edge=off_kf(bk.loop_edge),
+        mp_idx=off_mp(bk.mp_idx), parent=off_kf(bk.parent),
+        loop_edges=off_kf(bk.loop_edges),
         insert_order=jnp.where(bk.valid, bk.insert_order + a.insert_counter, bk.insert_order),
     )
     bm = bm.replace(obs_kf=off_kf(bm.obs_kf), ref_kf=off_kf(bm.ref_kf))

@@ -102,10 +102,14 @@ class NativeImageLoader:
 
 
 def _to_bytes(obj) -> bytes:
-    """Pytree -> bytes: numpy-ify jax leaves, pickle the container."""
+    """Pytree -> bytes: numpy-ify jax leaves, pickle the container.
+    ``bytes`` leaves pass through untouched (pre-packed wire payloads —
+    runtime/wire.py quantized MapMsg buffers ride inside the envelope)."""
     import jax
 
-    np_tree = jax.tree.map(lambda x: np.asarray(x), obj)
+    np_tree = jax.tree.map(
+        lambda x: x if isinstance(x, bytes) else np.asarray(x), obj
+    )
     return pickle.dumps(np_tree, protocol=pickle.HIGHEST_PROTOCOL)
 
 

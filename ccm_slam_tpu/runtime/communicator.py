@@ -124,6 +124,10 @@ class ClientCommState:
     mp_acked: np.ndarray
     kf_sent_msg: np.ndarray      # msg counter of the last send (retry timer)
     mp_sent_msg: np.ndarray
+    # entities that arrived FROM the server (vicinity feedback) — never
+    # re-sent (mbFromServer, Map.cpp:236-240) and immediately forgettable
+    kf_from_server: np.ndarray = None
+    mp_from_server: np.ndarray = None
     msg_counter: int = 0
     resend_after: int = 3        # unacked entities go out again (full) after
                                  # this many publish cycles
@@ -137,6 +141,8 @@ class ClientCommState:
             mp_acked=np.zeros(mp_cap, bool),
             kf_sent_msg=np.full(kf_cap, -1, np.int64),
             mp_sent_msg=np.full(mp_cap, -1, np.int64),
+            kf_from_server=np.zeros(kf_cap, bool),
+            mp_from_server=np.zeros(mp_cap, bool),
         )
 
 
@@ -168,9 +174,13 @@ def publish_client(
     K, M, N = kfs.capacity, mps.capacity, kfs.n_feat
 
     # never re-send entities that came FROM the server (vicinity feedback):
-    # they are recognizable by a foreign client id (Map.cpp:236-240)
+    # foreign client id, or own-id entities re-delivered by the server after
+    # a local trim (mbFromServer, Map.cpp:236-240)
     own_kf = np.asarray(kfs.client_id) == client_id
     own_mp = np.asarray(mps.client_id) == client_id
+    if st.kf_from_server is not None:
+        own_kf = own_kf & ~st.kf_from_server
+        own_mp = own_mp & ~st.mp_from_server
     alive_kf = np.asarray(kfs.valid & ~kfs.bad) & own_kf
     ver_kf = np.asarray(kfs.pose_version)
     timeout_kf = (
@@ -216,9 +226,11 @@ def publish_client(
     kf_idx_j = jnp.asarray(kf_idx)
     mp_idx_j = jnp.asarray(mp_idx)
 
-    # predecessor = alive KF with the largest id smaller than ours
+    # predecessor = OWN alive KF with the largest id smaller than ours (the
+    # server resolves pred_kf_id through this agent's id table — a foreign
+    # vicinity KF's id would resolve to the wrong entity)
     ids = jnp.asarray(ids_np)
-    alive_j = kfs.valid & ~kfs.bad
+    alive_j = kfs.valid & ~kfs.bad & (kfs.client_id == client_id)
     own = ids[kf_idx_j]
     smaller = (ids[None, :] < own[:, None]) & alive_j[None, :]
     pred_arena = jnp.argmax(jnp.where(smaller, ids[None, :], -1), axis=1)
@@ -233,8 +245,13 @@ def publish_client(
     # incrementally under locks, KeyFrame.cpp:715-741)
     parent_derived = ms.spanning_tree(m, ms.covisibility_matrix(m))
     par_arena = jnp.where(kfs.parent >= 0, kfs.parent, parent_derived)[kf_idx_j]
+    # foreign (server-fed) keyframes may never be parents on the wire: the
+    # receiver resolves par_kf_id through the agent's OWN id table
+    # (KeyFrame.cpp:718-723 excludes server KFs as spanning parents)
+    par_own = kfs.client_id[jnp.clip(par_arena, 0, K - 1)] == client_id
     par_ok = (
         (par_arena >= 0)
+        & par_own
         & alive_j[jnp.clip(par_arena, 0, K - 1)]
         & (ids[jnp.clip(par_arena, 0, K - 1)] < own)
         & (par_arena != pred_arena)
@@ -347,8 +364,37 @@ def apply_server_acks(st: ClientCommState, m: ms.MapState, msg: MapMsg) -> Clien
 
 
 def trimmable_mask(m: ms.MapState, st: ClientCommState) -> jnp.ndarray:
-    """CanBeForgotten: sent at least once AND acked (KeyFrame.cpp:1964)."""
-    return jnp.asarray((st.kf_sent >= 0) & st.kf_acked)
+    """CanBeForgotten: sent at least once AND acked (KeyFrame.cpp:1964);
+    server-fed vicinity entities are forgettable immediately (the client
+    never owes them to anyone — Communicator.cpp:136-148 culls them)."""
+    ok = (st.kf_sent >= 0) & st.kf_acked
+    if st.kf_from_server is not None:
+        ok = ok | st.kf_from_server
+    return jnp.asarray(ok)
+
+
+def remap_client_state(st: ClientCommState, kf_remap, mp_remap) -> ClientCommState:
+    """Fix the arena-aligned send state after a client map compaction
+    (``ms.compact_map`` permutes arena slots; ``ms.compaction_remap`` gives
+    old->new).  Dropped entities' state is discarded; fresh slots start
+    never-sent."""
+    kf_remap = np.asarray(kf_remap)
+    mp_remap = np.asarray(mp_remap)
+    new = ClientCommState.create(st.kf_sent.shape[0], st.mp_sent.shape[0])
+    new.msg_counter = st.msg_counter
+    new.resend_after = st.resend_after
+    ksrc = np.where(kf_remap >= 0)[0]
+    new.kf_sent[kf_remap[ksrc]] = st.kf_sent[ksrc]
+    new.kf_acked[kf_remap[ksrc]] = st.kf_acked[ksrc]
+    new.kf_sent_msg[kf_remap[ksrc]] = st.kf_sent_msg[ksrc]
+    msrc = np.where(mp_remap >= 0)[0]
+    new.mp_sent[mp_remap[msrc]] = st.mp_sent[msrc]
+    new.mp_acked[mp_remap[msrc]] = st.mp_acked[msrc]
+    new.mp_sent_msg[mp_remap[msrc]] = st.mp_sent_msg[msrc]
+    if st.kf_from_server is not None:
+        new.kf_from_server[kf_remap[ksrc]] = st.kf_from_server[ksrc]
+        new.mp_from_server[mp_remap[msrc]] = st.mp_from_server[msrc]
+    return new
 
 
 def ingest_server_map(
@@ -357,11 +403,16 @@ def ingest_server_map(
     own_client_id: int,
     foreign_kf_table: dict,
     foreign_mp_table: dict,
+    comm_state: ClientCommState = None,
 ):
     """Client-side ingestion of server vicinity feedback — batched
     (ProcessKfInClient/ProcessMpInClient, Communicator.cpp:730-1026):
     foreign keyframes/landmarks enter the client map with their original
     client ids (they are never re-sent and never become spanning parents).
+    Entities carrying the agent's OWN client id are resolved against the
+    live arena by kf/mp id: known ones become pose/position updates (the
+    server handing back loop-corrected poses), trimmed-away ones are
+    re-instantiated and flagged from-server so they are never re-sent.
 
     Vicinity poses arrive absolute in the client gauge (pred_id == -1), so
     unlike the server side no chain resolution is needed: known entities are
@@ -369,31 +420,62 @@ def ingest_server_map(
     one ``ms.add_keyframes``/``ms.add_mappoints`` call.
 
     foreign_*_table: {(client_id, id) -> arena idx}, updated in place.
+    ``comm_state`` (optional, updated in place): new arenas are marked
+    from-server; own pose updates are recorded as already-synced so the
+    server's own correction does not echo back as a client pose update.
     Returns the updated map."""
     kfb = msg.kfs
     Bk = int(kfb.valid.shape[0])
     K, M = m.kfs.capacity, m.mps.capacity
+
+    own_kf_alive = np.asarray(m.kfs.valid & ~m.kfs.bad) & (
+        np.asarray(m.kfs.client_id) == own_client_id
+    )
+    own_kf_ids = np.asarray(m.kfs.kf_id)
+    own_kf_lookup = {
+        int(own_kf_ids[k]): int(k) for k in np.where(own_kf_alive)[0]
+    }
+
+    def _kf_arena(c, i):
+        if int(c) == own_client_id:
+            hit = own_kf_lookup.get(int(i), -1)
+            if hit >= 0:
+                return hit
+        return foreign_kf_table.get((int(c), int(i)), -1)
+
     if Bk:
         valid = np.asarray(kfb.valid)
         cids = np.asarray(kfb.client_id)
         ids = np.asarray(kfb.kf_id)
         known = np.array(
-            [foreign_kf_table.get((int(c), int(i)), -1) for c, i in zip(cids, ids)],
+            [_kf_arena(c, i) for c, i in zip(cids, ids)],
             np.int32,
         )
         full = np.asarray(kfb.full)
         is_upd = valid & (known >= 0)
         room = int(m.next_kf) + np.cumsum((valid & (known < 0) & full).astype(np.int64)) <= K - 1
         is_new = valid & (known < 0) & full & room
-        # associations: foreign landmark ids -> arena (host dense table)
+        # associations: landmark ids -> arena (foreign table, plus the live
+        # arena for own-id landmarks on re-instated own keyframes)
         assoc_ids = np.asarray(kfb.mp_assoc_id)
         assoc = np.full(assoc_ids.shape, -1, np.int32)
-        if foreign_mp_table:
+        if is_new.any():
+            own_mp_alive0 = np.asarray(m.mps.valid & ~m.mps.bad) & (
+                np.asarray(m.mps.client_id) == own_client_id
+            )
+            own_mp_ids0 = np.asarray(m.mps.mp_id)
+            own_mp_lookup0 = {
+                int(own_mp_ids0[p]): int(p) for p in np.where(own_mp_alive0)[0]
+            }
             for b in np.where(is_new)[0]:
                 cid = int(cids[b])
                 for j, mid in enumerate(assoc_ids[b]):
                     if mid >= 0:
-                        assoc[b, j] = foreign_mp_table.get((cid, int(mid)), -1)
+                        hit = (own_mp_lookup0.get(int(mid), -1)
+                               if cid == own_client_id else -1)
+                        if hit < 0:
+                            hit = foreign_mp_table.get((cid, int(mid)), -1)
+                        assoc[b, j] = hit
         # one scatter for pose updates
         ui = np.where(is_upd, known, K - 1)
         upd_j = jnp.asarray(is_upd)
@@ -419,6 +501,16 @@ def ingest_server_map(
         arenas = np.asarray(arenas)
         for b in np.where(is_new)[0]:
             foreign_kf_table[(int(cids[b]), int(ids[b]))] = int(arenas[b])
+        if comm_state is not None:
+            comm_state.kf_from_server[arenas[is_new]] = True
+            # own pose updates came FROM the server: record them as synced
+            # (no echo back); read the post-update versions in one transfer
+            own_upd = is_upd & (cids == own_client_id)
+            if own_upd.any():
+                vers = np.asarray(m.kfs.pose_version)[known[own_upd]]
+                comm_state.kf_sent[known[own_upd]] = np.maximum(
+                    comm_state.kf_sent[known[own_upd]], vers
+                )
 
     mpb = msg.mps
     Bm = int(mpb.valid.shape[0])
@@ -426,13 +518,28 @@ def ingest_server_map(
         valid = np.asarray(mpb.valid)
         cids = np.asarray(mpb.client_id)
         ids = np.asarray(mpb.mp_id)
+        own_mp_alive = np.asarray(m.mps.valid & ~m.mps.bad) & (
+            np.asarray(m.mps.client_id) == own_client_id
+        )
+        own_mp_ids = np.asarray(m.mps.mp_id)
+        own_mp_lookup = {
+            int(own_mp_ids[p]): int(p) for p in np.where(own_mp_alive)[0]
+        }
+
+        def _mp_arena(c, i):
+            if int(c) == own_client_id:
+                hit = own_mp_lookup.get(int(i), -1)
+                if hit >= 0:
+                    return hit
+            return foreign_mp_table.get((int(c), int(i)), -1)
+
         known = np.array(
-            [foreign_mp_table.get((int(c), int(i)), -1) for c, i in zip(cids, ids)],
+            [_mp_arena(c, i) for c, i in zip(cids, ids)],
             np.int32,
         )
         ref_arena = np.array(
             [
-                foreign_kf_table.get((int(rc), int(ri)), -1)
+                _kf_arena(rc, ri)
                 for rc, ri in zip(np.asarray(mpb.ref_client_id), np.asarray(mpb.ref_kf_id))
             ],
             np.int32,
@@ -470,4 +577,12 @@ def ingest_server_map(
         arenas = np.asarray(arenas)
         for b in np.where(is_new)[0]:
             foreign_mp_table[(int(cids[b]), int(ids[b]))] = int(arenas[b])
+        if comm_state is not None:
+            comm_state.mp_from_server[arenas[is_new]] = True
+            own_upd = is_upd & (cids == own_client_id)
+            if own_upd.any():
+                vers = np.asarray(m.mps.pos_version)[known[own_upd]]
+                comm_state.mp_sent[known[own_upd]] = np.maximum(
+                    comm_state.mp_sent[known[own_upd]], vers
+                )
     return m

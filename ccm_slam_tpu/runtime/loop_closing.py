@@ -292,12 +292,18 @@ def correct_loop(
     S3 = Sim3(s=S_qc.s[None], R=S_qc.R[None], t=S_qc.t[None])
     e3_valid = jnp.array([True])
 
-    # previously recorded loop edges
-    has_loop = (kfs.loop_edge >= 0) & alive
-    e4_i = jnp.arange(K, dtype=jnp.int32)
-    e4_j = jnp.clip(kfs.loop_edge, 0, K - 1)
-    e4_valid = has_loop
-    S4 = pg.relative_sim3(S_pre, jax.tree.map(lambda x: x[e4_j], S_pre))
+    # ALL previously recorded loop edges (the per-KF table mirrors
+    # mspLoopEdges — every lap of a loop world accumulates one; the essential
+    # graph must see them all, Optimizer.cpp:1120-1160 sLoopEdges).  Edges
+    # are stored in both endpoints; keep the canonical i<j orientation.
+    L = kfs.loop_edges.shape[1]
+    e4_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), L)
+    le_flat = kfs.loop_edges.reshape(-1)
+    e4_j = jnp.clip(le_flat, 0, K - 1)
+    e4_valid = (le_flat >= 0) & alive[e4_i] & alive[e4_j] & (e4_i < e4_j)
+    S4 = pg.relative_sim3(
+        jax.tree.map(lambda x: x[e4_i], S_pre), jax.tree.map(lambda x: x[e4_j], S_pre)
+    )
 
     def cat(*xs):
         return jnp.concatenate(xs)
@@ -310,7 +316,7 @@ def correct_loop(
         j_idx=cat(e1_j, e2_j, e3_j, e4_j),
         S_meas=jax.tree.map(lambda *x: jnp.concatenate(x), S1, S2, S3, S4),
         edge_valid=cat(e1_valid, e2_valid, e3_valid, e4_valid),
-        weight=jnp.ones((K + E_cov + 1 + K,), jnp.float32),
+        weight=jnp.ones((K + E_cov + 1 + K * L,), jnp.float32),
     )
     S_opt, cost = pg.optimize_pose_graph(prob, iters=ess_iters)
 
@@ -321,8 +327,8 @@ def correct_loop(
         R_cw=jnp.where(alive[:, None, None], orthonormalize(T_new.R), kfs.R_cw),
         t_cw=jnp.where(alive[:, None], T_new.t, kfs.t_cw),
         pose_version=kfs.pose_version + alive.astype(jnp.int32),
-        loop_edge=kfs.loop_edge.at[kf_q].set(kf_c),
     )
+    kfs2, le_dropped = ms.add_loop_edge(kfs2, kf_q, kf_c)
     # landmark update: X'' = S_opt_ref^-1( S_vert_ref(X') )
     S_vert_ref = jax.tree.map(lambda x: x[ref], S_vert)
     S_opt_ref = jax.tree.map(lambda x: x[ref], S_opt)
@@ -335,6 +341,7 @@ def correct_loop(
     info = {
         "covis_edges": n_strong,
         "covis_edges_dropped": jnp.maximum(0, n_strong - E_cov),
+        "loop_edges_dropped": le_dropped,
     }
     return m.replace(kfs=kfs2, mps=mps2), cost, info
 
@@ -447,6 +454,10 @@ class LoopFinder:
             if int(info["covis_edges_dropped"]) > 0:
                 print(f"[loop] essential graph kept top {int(info['covis_edges'])-int(info['covis_edges_dropped'])} "
                       f"of {int(info['covis_edges'])} strong covisibility edges")
+            if int(info["loop_edges_dropped"]) > 0:
+                print(f"[loop] loop-edge table full on an endpoint: "
+                      f"{int(info['loop_edges_dropped'])} direction(s) dropped "
+                      f"(raise map_store.MAX_LOOP_EDGES)")
             self.last_loop_kf_id = int(m.kfs.kf_id[kf_idx])
             self.prev_groups = []
             return m, True

@@ -390,11 +390,14 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
     def _compose(redirect, loser, winner):
         act = (loser >= 0) & (winner >= 0) & (loser != winner)
         safe_l = jnp.where(act, loser, Mcap - 1)
-        # active losers are unique within a pass (targets deduped); inactive
-        # lanes write delta 0 at the sentinel slot — collision-safe add
-        step = jnp.arange(Mcap, dtype=jnp.int32).at[safe_l].add(
-            jnp.where(act, winner - safe_l, 0)
+        # single-winner max scatter: if two lanes ever name the same loser
+        # (they shouldn't — candidates exclude the target row — but replace
+        # paths have collided before) the larger winner index wins
+        # deterministically instead of producing a garbage sum
+        won = jnp.full((Mcap,), -1, jnp.int32).at[safe_l].max(
+            jnp.where(act, winner, -1)
         )
+        step = jnp.where(won >= 0, won, jnp.arange(Mcap, dtype=jnp.int32))
         return step[redirect]
 
     m, n_add, n_merge, lo, wi = _fuse_subset(m, kf_idx, cand_idx, cand_ok,
@@ -404,10 +407,21 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
     # reverse direction: project the target's landmarks into each neighbor
     own2 = m.kfs.mp_idx[kf_idx]
     own_ok0 = own2 >= 0
+    own_safe = jnp.clip(own2, 0, Mcap - 1)
     for i in range(n_neighbors):
         nb = nbr_idx[i]
-        mm, a, g, lo, wi = _fuse_subset(m, nb, own2, own_ok0 & (nbr_w[i] > 0),
-                                        cam, cfg, rebuild=False)
+        # exclude candidates already linked in this neighbor's own row
+        # (ORBmatcher::Fuse skips pMP->IsInKeyFrame(pKF)); this also keeps
+        # losers unique within the pass — a candidate can no longer double
+        # as another lane's displaced `existing`
+        nb_row = m.kfs.mp_idx[nb]
+        in_nb = jnp.zeros((Mcap,), bool).at[
+            jnp.clip(nb_row, 0, Mcap - 1)
+        ].max(nb_row >= 0)
+        mm, a, g, lo, wi = _fuse_subset(
+            m, nb, own2,
+            own_ok0 & (nbr_w[i] > 0) & ~in_nb[own_safe],
+            cam, cfg, rebuild=False)
         m = mm
         n_add = n_add + a
         n_merge = n_merge + g
@@ -475,23 +489,33 @@ def cull_redundant_keyframes(m: ms.MapState, cfg: SystemConfig, protect_recent: 
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def trim_keyframes(m: ms.MapState, cfg: SystemConfig):
-    """Client local-map bound (Map::MapTrimming): keep the newest
-    LocalMapSize keyframes by insertion order, erase the rest (entities must
-    be sent+acked before trimming in the multi-agent runtime — the
-    communicator masks `trimmable` accordingly before calling this)."""
+def trim_keyframes(m: ms.MapState, cfg: SystemConfig, trimmable=None):
+    """Client local-map bound (Map::MapTrimming, cslam/src/Map.cpp:857-1063):
+    keep the newest LocalMapSize keyframes by insertion order, erase the rest.
+
+    ``trimmable`` [K] bool (CanBeForgotten, KeyFrame.cpp:1964-1974: sent AND
+    acked — ``communicator.trimmable_mask``): keyframes beyond the window
+    that are NOT yet trimmable are kept (never drop un-synced data) and
+    reported in n_held so callers can surface comm backpressure.
+
+    Returns (map', n_trimmed, n_held)."""
     kfs = m.kfs
     alive = kfs.valid & ~kfs.bad
-    n_alive = jnp.sum(alive)
     order = jnp.where(alive, kfs.insert_order, -1)
     rank = jnp.sum(order[:, None] < order[None, :], axis=1)  # bigger = older
     keep = rank < cfg.mapping.local_map_size
-    kill = alive & ~keep
+    over = alive & ~keep
+    if trimmable is None:
+        kill = over
+        n_held = jnp.int32(0)
+    else:
+        kill = over & trimmable
+        n_held = jnp.sum(over & ~trimmable)
     m = ms.erase_keyframes(m, kill)
     # landmarks that lost all observations die with their keyframes
     orphan = m.mps.valid & ~m.mps.bad & (m.mps.obs_n == 0)
     m = ms.erase_mappoints(m, orphan)
-    return m, jnp.sum(kill)
+    return m, jnp.sum(kill), n_held
 
 
 @partial(jax.jit, static_argnames=("cfg", "iters"))

@@ -61,6 +61,9 @@ class AgentState:
     last_data_step: int = -1  # -1: never sent data
     finished: bool = False
     next_server_kf: int = 0  # ingestion counter for mapping-side bookkeeping
+    # agent-reported nearest keyframe (Map.msg ClosestKf_Id, recorded by
+    # MapCbServer Communicator.cpp:432-442) — the vicinity BFS root
+    closest_kf_id: int = -1
 
 
 @dataclass
@@ -202,6 +205,8 @@ class Server:
             ag.mp_table[int(mid)] = int(arena)
         weak_kf = int(host["max_kf_id"]) if bool(host["weak_kf"]) or bool(host["kf_over"]) else -1
         weak_mp = int(host["max_mp_id"]) if bool(host["weak_mp"]) or bool(host["mp_over"]) else -1
+        if msg.closest_kf_id >= 0:
+            ag.closest_kf_id = int(msg.closest_kf_id)
 
         self.maps[slot] = m
         self.gba_dirty[slot] = True
@@ -215,6 +220,37 @@ class Server:
             weak_ack_kf_id=weak_kf,
             weak_ack_mp_id=weak_mp,
         )
+
+    def reset_agent(self, agent_id: int):
+        """Client reset while connected (Tracking::Reset restarts kf/mp ids
+        at 0, Tracking.cpp:961-985; Communicator::ResetIfRequested clears the
+        buffers): drop the agent's id tables + pending buffers and erase its
+        own entities from its map slot, so re-sent ids allocate fresh arena
+        entries instead of aliasing the dead run's slots."""
+        ag = self.agents[agent_id]
+        slot = ag.map_slot
+        m = self.maps[slot]
+        own_kf = m.kfs.valid & ~m.kfs.bad & (m.kfs.client_id == agent_id)
+        own_mp = m.mps.valid & ~m.mps.bad & (m.mps.client_id == agent_id)
+        m = ms.erase_keyframes(m, own_kf)
+        m = ms.erase_mappoints(m, own_mp)
+        self.maps[slot] = m
+        # dead rows must leave the place-recognition databases too
+        self.finders[slot].db = kdb_mod.erase(self.finders[slot].db, own_kf)
+        gmask = jnp.zeros((self.matcher.db.capacity,), bool)
+        lo = slot * self.matcher.kf_capacity
+        gmask = gmask.at[lo : lo + own_kf.shape[0]].set(own_kf)
+        self.matcher.db = kdb_mod.erase(self.matcher.db, gmask)
+        ag.kf_table.clear()
+        ag.mp_table.clear()
+        ag.ing_tables = None
+        ag.pending_kfb = None
+        ag.pending_mpb = None
+        ag.closest_kf_id = -1
+        ag.S_map_client = Sim3.identity()
+        ag.last_data_step = -1
+        self.gba_state.pop(slot, None)
+        self.final_gba_done[slot] = False
 
     # ------------------------------------------------------------- maintenance
 
@@ -406,30 +442,20 @@ class Server:
             )
             return empty
 
-        # BFS over covisibility from the agent's newest keyframe.  Row
-        # queries only (covis_row): at stress scale the full [K,K] matrix
-        # with its [M,K] incidence intermediate is a memory wall, and the
-        # BFS touches at most max_kfs rows anyway.
-        start = ag.kf_table[max(ag.kf_table.keys())]
-        seen = [start]
-        frontier = [start]
-        while frontier and len(seen) < max_kfs:
-            nxt = []
-            for k in frontier:
-                row = np.asarray(ms.covis_row(m, jnp.int32(k)))
-                nbrs = np.argsort(-row)
-                for nb in nbrs:
-                    if row[nb] <= 0:
-                        break
-                    if nb not in seen:
-                        seen.append(int(nb))
-                        nxt.append(int(nb))
-                    if len(seen) >= max_kfs:
-                        break
-                if len(seen) >= max_kfs:
-                    break
-            frontier = nxt
-        sel = seen[:max_kfs]
+        # k-hop covisibility expansion from the agent's REPORTED nearest
+        # keyframe (Map.msg ClosestKf_Id — on a revisit this is an OLD
+        # keyframe, which is exactly when feedback matters), falling back to
+        # the newest ingested one; ONE jitted call instead of a host BFS
+        # issuing a ~25 ms covis_row dispatch per visited KF.
+        start = ag.kf_table.get(ag.closest_kf_id,
+                                ag.kf_table[max(ag.kf_table.keys())])
+        sel_j, sel_ok = ms.vicinity_khop(m, jnp.int32(start), max_kfs)
+        sel = [int(s) for s, ok in zip(np.asarray(sel_j), np.asarray(sel_ok)) if ok]
+        if not sel:
+            return MapMsg(
+                kfs=None, mps=None, ack_kf_ids=np.zeros(0, np.int64),
+                ack_mp_ids=np.zeros(0, np.int64),
+            )
 
         # encode in the client gauge: T_client = se3_scaled(T_map o S_mc)
         S_mc = ag.S_map_client

@@ -63,7 +63,16 @@ class Tracker:
     rng: object = None
     enable_mapping: bool = True
     enable_trimming: bool = False  # standalone eval keeps the full map
+    # CanBeForgotten gate for trimming (Map::MapTrimming only erases sent &&
+    # acked entities): server-connected drivers set this to a callable
+    # map -> [K] bool (communicator.trimmable_mask over the live comm state)
+    trim_mask_fn: object = None
     enable_relocalization: bool = False  # opt-in PnP recovery (see _relocalize)
+    # bumped on every young-map reset (Tracking.cpp:248-259): drivers watch
+    # it to resync arena-aligned external state (ClientCommState, server-side
+    # agent tables) — a fresh KF landing in a previously-sent arena slot must
+    # not inherit the old sent/acked flags
+    reset_epoch: int = 0
     last_compaction: object = None  # (kf_remap, mp_remap) of the latest compact
     stats: dict = field(default_factory=lambda: {"kf_created": 0, "mp_created": 0})
 
@@ -326,7 +335,16 @@ class Tracker:
             self.map, _, _, redir = mapping.fuse_neighbors(self.map, jnp.int32(k), self.cam, cfg)
             self._check_replaced(redir)
             if self.enable_trimming:
-                self.map, _ = mapping.trim_keyframes(self.map, cfg)
+                trimmable = (None if self.trim_mask_fn is None
+                             else self.trim_mask_fn(self.map))
+                self.map, n_trim, n_held = mapping.trim_keyframes(
+                    self.map, cfg, trimmable
+                )
+                self.stats["kf_trimmed"] = (
+                    self.stats.get("kf_trimmed", 0) + int(n_trim)
+                )
+                if int(n_held) > 0:  # comm backpressure: over-window KFs not
+                    self.stats["trim_held"] = int(n_held)  # yet sent+acked
             self.map, cost, n_good, n_trunc = mapping.local_ba(
                 self.map, jnp.int32(k), self.cam, cfg
             )
@@ -403,13 +421,16 @@ class Tracker:
 
     def _handle_lost(self, frame: Frame):
         if self.kfs_since_init < self.cfg.tracking.init_kfs:
-            # young map: full reset (Tracking.cpp:248-259)
+            # young map: full reset (Tracking.cpp:248-259); kf/mp ids restart
+            # at 0 like the reference (KeyFrame::nNextId = 0, Tracking::Reset)
             self.state = NOT_INITIALIZED
             self.map = None
             self.ref_frame = None
             self.last_frame = None
             self.has_velocity = False
+            self.next_kf_id = 0
             self.kf_events.append(-1)  # reset marker
+            self.reset_epoch += 1
         else:
             self.state = LOST
         self.n_lost_frames += 1

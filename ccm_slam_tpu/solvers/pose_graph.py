@@ -50,41 +50,119 @@ def _edge_error(xi_i, xi_j, S_iw: Sim3, S_jw: Sim3, S_ij: Sim3):
     return S_ij.compose(Sj).compose(Si.inverse()).log()
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20):
-    """Run `iters` LM iterations; returns (S_w_opt: Sim3 [V], final_cost)."""
-    V = prob.fixed.shape[0]
-    zeros7 = jnp.zeros(7)
+# vertex-count threshold above which the dense [7V,7V] assembly + LU solve
+# is replaced by the matrix-free block-Jacobi PCG (the dense path is O(V^3)
+# per LM iteration and 7V x 7V of HBM; PCG is O(E) per CG step)
+DENSE_MAX_VERTS = 384
 
-    def build_system(S_cur: Sim3):
+
+@partial(jax.jit, static_argnames=("iters", "solver", "cg_iters"))
+def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
+                        solver: str = "auto", cg_iters: int = 48):
+    """Run `iters` LM iterations; returns (S_w_opt: Sim3 [V], final_cost).
+
+    ``solver``: "dense" (LU on the assembled [7V,7V] normal matrix — exact,
+    best for CI-size graphs), "pcg" (matrix-free conjugate gradients over the
+    edge list with a block-diagonal 7x7 Jacobi preconditioner — the
+    server-scale path, same shape as the GBA Schur PCG), or "auto" (pick by
+    vertex count at trace time)."""
+    V = prob.fixed.shape[0]
+    if solver == "auto":
+        solver = "dense" if V <= DENSE_MAX_VERTS else "pcg"
+    zeros7 = jnp.zeros(7)
+    ii, jj = prob.i_idx, prob.j_idx
+
+    def edge_system(S_cur: Sim3):
+        """Per-edge errors + Jacobians (autodiff through the Sim3 chain)."""
         def edge_blocks(e):
-            S_iw = jax.tree.map(lambda x: x[prob.i_idx[e]], S_cur)
-            S_jw = jax.tree.map(lambda x: x[prob.j_idx[e]], S_cur)
+            S_iw = jax.tree.map(lambda x: x[ii[e]], S_cur)
+            S_jw = jax.tree.map(lambda x: x[jj[e]], S_cur)
             S_ij = jax.tree.map(lambda x: x[e], prob.S_meas)
             err = _edge_error(zeros7, zeros7, S_iw, S_jw, S_ij)
             Ji = jax.jacobian(lambda xi: _edge_error(xi, zeros7, S_iw, S_jw, S_ij))(zeros7)
             Jj = jax.jacobian(lambda xj: _edge_error(zeros7, xj, S_iw, S_jw, S_ij))(zeros7)
             return err, Ji, Jj
 
-        errs, Jis, Jjs = jax.vmap(edge_blocks)(jnp.arange(prob.i_idx.shape[0]))
+        errs, Jis, Jjs = jax.vmap(edge_blocks)(jnp.arange(ii.shape[0]))
         w = (prob.edge_valid * prob.weight).astype(errs.dtype)  # [E]
-        Jis = Jis * w[:, None, None]
-        Jjs = Jjs * w[:, None, None]
-        # assemble H [V,7,V,7] and b [V,7]
-        H = jnp.zeros((V, 7, V, 7), errs.dtype)
-        ii, jj = prob.i_idx, prob.j_idx
-        # note Jis/Jjs already carry one factor of w; use unweighted transpose side
-        Ji_raw = Jis / jnp.clip(w[:, None, None], 1e-12)
-        Jj_raw = Jjs / jnp.clip(w[:, None, None], 1e-12)
-        H = H.at[ii, :, ii, :].add(jnp.einsum("eij,eik->ejk", Jis, Ji_raw))
-        H = H.at[jj, :, jj, :].add(jnp.einsum("eij,eik->ejk", Jjs, Jj_raw))
-        H = H.at[ii, :, jj, :].add(jnp.einsum("eij,eik->ejk", Jis, Jj_raw))
-        H = H.at[jj, :, ii, :].add(jnp.einsum("eij,eik->ejk", Jjs, Ji_raw))
-        b = jnp.zeros((V, 7), errs.dtype)
-        b = b.at[ii].add(-jnp.einsum("eij,ei->ej", Jis, errs))
-        b = b.at[jj].add(-jnp.einsum("eij,ei->ej", Jjs, errs))
         cost = jnp.sum(w * jnp.sum(errs * errs, axis=-1))
-        return H.reshape(V * 7, V * 7), b.reshape(-1), cost
+        b = jnp.zeros((V, 7), errs.dtype)
+        b = b.at[ii].add(-jnp.einsum("eij,ei->ej", Jis * w[:, None, None], errs))
+        b = b.at[jj].add(-jnp.einsum("eij,ei->ej", Jjs * w[:, None, None], errs))
+        return errs, Jis, Jjs, w, b, cost
+
+    frozen_v = prob.fixed | ~prob.vert_valid  # [V]
+    frozen = jnp.repeat(frozen_v, 7)
+
+    def dense_solve(Jis, Jjs, w, b, lam):
+        Jis_w = Jis * w[:, None, None]
+        Jjs_w = Jjs * w[:, None, None]
+        H = jnp.zeros((V, 7, V, 7), b.dtype)
+        H = H.at[ii, :, ii, :].add(jnp.einsum("eij,eik->ejk", Jis_w, Jis))
+        H = H.at[jj, :, jj, :].add(jnp.einsum("eij,eik->ejk", Jjs_w, Jjs))
+        H = H.at[ii, :, jj, :].add(jnp.einsum("eij,eik->ejk", Jis_w, Jjs))
+        H = H.at[jj, :, ii, :].add(jnp.einsum("eij,eik->ejk", Jjs_w, Jis))
+        H = H.reshape(V * 7, V * 7)
+        bf = b.reshape(-1)
+        # freeze fixed/invalid vertices: identity rows
+        H = jnp.where(frozen[:, None] | frozen[None, :], 0.0, H)
+        H = H + jnp.diag(frozen.astype(H.dtype))
+        bf = jnp.where(frozen, 0.0, bf)
+        H = H + lam * jnp.diag(jnp.clip(jnp.diag(H), 1e-8, None))
+        return jnp.linalg.solve(H, bf).reshape(V, 7)
+
+    def pcg_solve(Jis, Jjs, w, b, lam):
+        """Matrix-free normal-equation CG: Hx per step is two [E,7,7]x[E,7]
+        batched matmuls + two segment scatters — never forms [7V,7V]."""
+        Jis_w = Jis * w[:, None, None]
+        Jjs_w = Jjs * w[:, None, None]
+        free = ~frozen_v
+
+        # block-diagonal of H for damping + Jacobi preconditioner
+        Hd = jnp.zeros((V, 7, 7), b.dtype)
+        Hd = Hd.at[ii].add(jnp.einsum("eij,eik->ejk", Jis_w, Jis))
+        Hd = Hd.at[jj].add(jnp.einsum("eij,eik->ejk", Jjs_w, Jjs))
+        dclip = jnp.clip(jnp.diagonal(Hd, axis1=1, axis2=2), 1e-8, None)
+        lam_d = lam * dclip
+        Hd_damped = Hd + jax.vmap(jnp.diag)(lam_d)
+        # regularize + invert the 7x7 blocks (frozen blocks -> identity)
+        eye7 = jnp.eye(7, dtype=b.dtype)
+        Hd_damped = jnp.where(free[:, None, None], Hd_damped, eye7)
+        Minv = jnp.linalg.inv(Hd_damped + 1e-8 * eye7)
+
+        def Hx(x):  # x [V,7]
+            x = jnp.where(free[:, None], x, 0.0)
+            y = (jnp.einsum("eij,ej->ei", Jis, x[ii])
+                 + jnp.einsum("eij,ej->ei", Jjs, x[jj]))  # [E,7] err-space
+            out = jnp.zeros((V, 7), x.dtype)
+            out = out.at[ii].add(jnp.einsum("eij,ei->ej", Jis_w, y))
+            out = out.at[jj].add(jnp.einsum("eij,ei->ej", Jjs_w, y))
+            out = out + lam_d * x  # LM damping on the block diagonal
+            return jnp.where(free[:, None], out, 0.0)
+
+        b0 = jnp.where(free[:, None], b, 0.0)
+        x = jnp.zeros_like(b0)
+        r = b0
+        z = jnp.einsum("vij,vj->vi", Minv, r)
+        p = z
+        rz = jnp.sum(r * z)
+
+        def cg_step(carry, _):
+            x, r, p, rz = carry
+            Ap = Hx(p)
+            denom = jnp.sum(p * Ap)
+            alpha = jnp.where(denom > 1e-20, rz / denom, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = jnp.einsum("vij,vj->vi", Minv, r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(cg_step, (x, r, p, rz), None,
+                                       length=cg_iters)
+        return x
 
     def apply_delta(S_cur: Sim3, dx):
         dS = Sim3.exp(dx.reshape(V, 7))
@@ -95,27 +173,24 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20):
 
     def cost_of(S_cur: Sim3):
         def edge_cost(e):
-            S_iw = jax.tree.map(lambda x: x[prob.i_idx[e]], S_cur)
-            S_jw = jax.tree.map(lambda x: x[prob.j_idx[e]], S_cur)
+            S_iw = jax.tree.map(lambda x: x[ii[e]], S_cur)
+            S_jw = jax.tree.map(lambda x: x[jj[e]], S_cur)
             S_ij = jax.tree.map(lambda x: x[e], prob.S_meas)
             err = _edge_error(zeros7, zeros7, S_iw, S_jw, S_ij)
             return jnp.sum(err * err)
 
-        ec = jax.vmap(edge_cost)(jnp.arange(prob.i_idx.shape[0]))
+        ec = jax.vmap(edge_cost)(jnp.arange(ii.shape[0]))
         return jnp.sum(ec * prob.edge_valid * prob.weight)
-
-    frozen = jnp.repeat(prob.fixed | ~prob.vert_valid, 7)
 
     def lm_iter(carry, _):
         S_cur, lam = carry
-        H, b, cost = build_system(S_cur)
-        # freeze fixed/invalid vertices: identity rows
-        H = jnp.where(frozen[:, None] | frozen[None, :], 0.0, H)
-        H = H + jnp.diag(frozen.astype(H.dtype))
-        b = jnp.where(frozen, 0.0, b)
-        H = H + lam * jnp.diag(jnp.clip(jnp.diag(H), 1e-8, None))
-        dx = jnp.linalg.solve(H, b)
-        S_new = apply_delta(S_cur, dx)
+        _, Jis, Jjs, w, b, cost = edge_system(S_cur)
+        if solver == "dense":
+            dx = dense_solve(Jis, Jjs, w, b, lam)
+        else:
+            dx = pcg_solve(Jis, Jjs, w, b, lam)
+        dx = jnp.where(frozen_v[:, None], 0.0, dx)
+        S_new = apply_delta(S_cur, dx.reshape(-1))
         accept = (cost_of(S_new) < cost) & jnp.all(jnp.isfinite(dx))
         S_cur = jax.tree.map(
             lambda new, old: jnp.where(

@@ -47,6 +47,17 @@ def main():
     ap.add_argument("--server", action="store_true",
                     help="run the central server even for a single agent "
                          "(loop closing + GBA, BASELINE config 2)")
+    ap.add_argument("--vicinity", type=int, default=None, metavar="N",
+                    help="server->client feedback budget: up to N vicinity "
+                         "keyframes per server publish cycle (reference "
+                         "Comm.Server.KfsToClient; default from config, 0=off)")
+    ap.add_argument("--trim", action="store_true",
+                    help="bound the client map at Mapping.LocalMapSize "
+                         "keyframes, trimming only sent+acked entities "
+                         "(Map::MapTrimming; requires --server)")
+    ap.add_argument("--reloc", action="store_true",
+                    help="arm PnP relocalization after tracking loss "
+                         "(the reference ships this as dead code)")
     ap.add_argument("--traj-format", default="tum", choices=["tum", "euroc"],
                     help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
@@ -112,8 +123,17 @@ def main():
             ))
     else:
         seqs = [euroc.EurocSequence(root=r) for r in args.seq]
+    if args.vicinity is not None:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            comm=_dc.replace(cfg.comm, server_kfs_to_client=args.vicinity)
+        )
     cam = Camera.from_config(cfg.camera)
     trackers = [Tracker(cfg=cfg, cam=cam, client_id=i) for i in range(n_agents)]
+    if args.reloc:
+        for tr in trackers:
+            tr.enable_relocalization = True
 
     server = None
     comm_states = None
@@ -134,18 +154,62 @@ def main():
             )
             for _ in range(n_agents)
         ]
+        # client-side tables for server-fed (vicinity) entities
+        foreign_kf = [dict() for _ in range(n_agents)]
+        foreign_mp = [dict() for _ in range(n_agents)]
+        reset_epochs = [0] * n_agents
+        if args.trim:
+            # bounded client map: trim only sent+acked (CanBeForgotten)
+            for i, tr in enumerate(trackers):
+                tr.enable_trimming = True
+                tr.trim_mask_fn = (
+                    lambda m, _i=i: comm.trimmable_mask(m, comm_states[_i])
+                )
 
     viewer = None
+    viewer_offer = None
     if args.live_viewer is not None:
+        import queue as _queue
+        import threading as _threading
+
         from ccm_slam_tpu.io.live_viewer import LiveViewer
 
         viewer = LiveViewer(port=args.live_viewer)
         print(f"live viewer: {viewer.url}")
+        # snapshot construction (covis matrix + device->host transfers, plus
+        # a one-off jit compile on the TPU) runs on a worker thread so the
+        # opt-in viewer can never stall the tracking loop; a full queue just
+        # drops the frame (latest-wins)
+        _vq: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def _viewer_worker():
+            while True:
+                item = _vq.get()
+                if item is None:
+                    return
+                kind, payload = item
+                try:
+                    if kind == "map":
+                        viewer.publish_map(payload)
+                    else:
+                        viewer.publish_frame(*payload)
+                except Exception as e:  # viewer must never kill the run
+                    print(f"[viewer] publish failed: {e}")
+
+        _threading.Thread(target=_viewer_worker, daemon=True,
+                          name="viewer-pub").start()
+
+        def viewer_offer(kind, payload):
+            try:
+                _vq.put_nowait((kind, payload))
+            except _queue.Full:
+                pass
 
     iters = [iter(s.frames(start=st, limit=args.limit)) for s, st in zip(seqs, starts)]
     live = [True] * n_agents
     frame_count = [0] * n_agents
     pub_every = max(1, int(cfg.camera.fps / cfg.comm.client_pub_freq))
+    srv_every = max(1, int(cfg.camera.fps / cfg.comm.server_pub_freq))
 
     from ccm_slam_tpu.ops import orb as orb_ops
     from ccm_slam_tpu.runtime.frame import build_frame
@@ -201,12 +265,43 @@ def main():
                 frame_count[i] += 1
             processed = {i for i, _ in pending}
         for i in sorted(processed):
-            if server is not None and trackers[i].map is not None:
+            if server is not None:
+                tr = trackers[i]
+                # reset-while-connected: the client restarted ids at 0 —
+                # resync every arena-aligned table on both ends
+                if tr.reset_epoch != reset_epochs[i]:
+                    reset_epochs[i] = tr.reset_epoch
+                    comm_states[i] = comm.ClientCommState.create(
+                        cfg.capacity.client_max_kfs, cfg.capacity.client_max_mps
+                    )
+                    foreign_kf[i].clear()
+                    foreign_mp[i].clear()
+                    server.reset_agent(i)
+                if tr.map is None:
+                    continue
+                # client arena compaction permuted slots: remap the comm
+                # state and the foreign-entity tables
+                if tr.last_compaction is not None:
+                    kf_r, mp_r = (np.asarray(r) for r in tr.last_compaction)
+                    tr.last_compaction = None
+                    comm_states[i] = comm.remap_client_state(
+                        comm_states[i], kf_r, mp_r
+                    )
+                    foreign_kf[i] = {
+                        key: int(kf_r[v]) for key, v in foreign_kf[i].items()
+                        if kf_r[v] >= 0
+                    }
+                    foreign_mp[i] = {
+                        key: int(mp_r[v]) for key, v in foreign_mp[i].items()
+                        if mp_r[v] >= 0
+                    }
                 if frame_count[i] % pub_every == 0:
+                    closest = int(np.asarray(tr.map.kfs.kf_id)[tr.ref_kf])
                     msg, comm_states[i] = comm.publish_client(
-                        trackers[i].map, comm_states[i], i,
+                        tr.map, comm_states[i], i,
                         max_kfs=cfg.comm.client_pub_max_kfs,
                         max_mps=cfg.comm.client_pub_max_mps,
+                        current_kf_id=closest,
                     )
                     if not msg.empty:
                         new_ids = [
@@ -216,22 +311,31 @@ def main():
                         ]
                         ack = server.ingest(i, msg)
                         comm_states[i] = comm.apply_server_acks(
-                            comm_states[i], trackers[i].map, ack
+                            comm_states[i], tr.map, ack
                         )
                         ag = server.agents[i]
                         for kf_id in new_ids:
                             if kf_id in ag.kf_table:
                                 server.mapping_step(i, ag.kf_table[kf_id])
+                # server->client vicinity feedback at the server publish rate
+                if (cfg.comm.server_kfs_to_client > 0
+                        and frame_count[i] % srv_every == 0):
+                    vic = server.pack_vicinity(i)
+                    if vic.kfs is not None:
+                        tr.map = comm.ingest_server_map(
+                            tr.map, vic, i, foreign_kf[i], foreign_mp[i],
+                            comm_state=comm_states[i],
+                        )
         if server is not None:
             server.idle_step()
         if viewer is not None and 0 in processed and frame_count[0] % pub_every == 0:
             if server is not None and trackers[0].map is not None:
-                viewer.publish_map(server.maps[server.agents[0].map_slot])
+                viewer_offer("map", server.maps[server.agents[0].map_slot])
             elif trackers[0].map is not None:
-                viewer.publish_map(trackers[0].map)
+                viewer_offer("map", trackers[0].map)
             raw0 = next((fr for i, fr in pending if i == 0), None)
             if raw0 is not None and trackers[0].last_frame is not None:
-                viewer.publish_frame(raw0.image, trackers[0].last_frame)
+                viewer_offer("frame", (raw0.image, trackers[0].last_frame))
 
     # final GBA on quiescence
     if server is not None:

@@ -39,6 +39,14 @@ def _common_setup(cpu: bool, args=None):
 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
+    # share the persistent compile cache across deployment processes (the
+    # rendered-profile tracking programs are expensive to re-trace per client)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ccm_slam_tpu_jaxcache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     if args is not None and getattr(args, "coordinator", None):
         # process-spanning device mesh (the multi-host slice of BASELINE
         # config 4): every participating process calls in with the same
@@ -76,6 +84,20 @@ def _camera():
     return Camera.from_config(CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0))
 
 
+def _wire_pack(msg):
+    """MapMsg -> quantized wire bytes (runtime/wire.py codec: ~0.9x the
+    reference ccmslam_msgs envelope, ~2x smaller than pickled pytrees)."""
+    from ccm_slam_tpu.runtime import wire
+
+    return None if msg is None else wire.pack_map_msg(msg)
+
+
+def _wire_unpack(b):
+    from ccm_slam_tpu.runtime import wire
+
+    return wire.unpack_map_msg(b) if isinstance(b, bytes) else b
+
+
 def _vocab(world_seed: int):
     import jax
     import jax.numpy as jnp
@@ -100,8 +122,22 @@ def run_server(args):
     from ccm_slam_tpu.runtime.server import Server
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = _build_cfg(args.n_feat)
-    server = Server(cfg=cfg, cam=_camera(), vocab=_vocab(args.world_seed),
+    if args.profile == "rendered":
+        from ccm_slam_tpu.config import rendered_ci_config
+        from ccm_slam_tpu.utils.camera import Camera
+
+        cfg = rendered_ci_config(factor=args.factor)
+        if args.vicinity:
+            import dataclasses as _dc
+
+            cfg = cfg.replace(
+                comm=_dc.replace(cfg.comm, server_kfs_to_client=args.vicinity)
+            )
+        cam = Camera.from_config(cfg.camera)
+    else:
+        cfg = _build_cfg(args.n_feat)
+        cam = _camera()
+    server = Server(cfg=cfg, cam=cam, vocab=_vocab(args.world_seed),
                     n_agents=args.agents)
     server.quiescence_steps = args.quiescence
     if getattr(args, "dist_gba", False):
@@ -162,7 +198,7 @@ def run_server(args):
         if kind == "hello":
             print(json.dumps({"event": "agent_connected", "agent": agent}), flush=True)
         elif kind == "map":
-            rx = msg["msg"]
+            rx = _wire_unpack(msg["msg"])
             new_ids = [
                 int(i)
                 for i, v in zip(np.asarray(rx.kfs.kf_id), np.asarray(rx.kfs.valid))
@@ -177,11 +213,16 @@ def run_server(args):
                         merges += 1
                         print(json.dumps({"event": "map_merge", "agent": agent,
                                           "kf": kf_id}), flush=True)
-            channels[agent].send({"type": "ack", "msg": ack})
-            # vicinity feedback rides the ack cycle when enabled
+            # vicinity feedback rides the ack reply when enabled
             vic = server.pack_vicinity(agent)
-            if vic.kfs is not None:
-                channels[agent].send({"type": "vicinity", "msg": vic})
+            channels[agent].send({
+                "type": "ack", "msg": _wire_pack(ack),
+                "vicinity": _wire_pack(vic) if vic.kfs is not None else None,
+            })
+        elif kind == "reset":
+            server.reset_agent(agent)
+            print(json.dumps({"event": "agent_reset", "agent": agent}),
+                  flush=True)
         elif kind == "bye":
             done.add(agent)
             print(json.dumps({"event": "agent_finished", "agent": agent}), flush=True)
@@ -227,13 +268,12 @@ def run_client(args):
     ch.send({"type": "hello", "agent": args.agent})
 
     if args.seq:
-        m_cl = _track_euroc(args)
-    else:
-        world, wdesc = make_world(np.random.RandomState(args.world_seed), n=300)
-        m_cl = build_agent_map(
-            world, wdesc, agent_corridor(args.agent, n_kfs=args.kfs),
-            agent_gauge(args.agent), kf_id_base=0, client_id=args.agent,
-        )
+        return _run_client_sequence(args, ch)
+    world, wdesc = make_world(np.random.RandomState(args.world_seed), n=300)
+    m_cl = build_agent_map(
+        world, wdesc, agent_corridor(args.agent, n_kfs=args.kfs),
+        agent_gauge(args.agent), kf_id_base=0, client_id=args.agent,
+    )
 
     st = comm.ClientCommState.create(m_cl.kfs.capacity, m_cl.mps.capacity)
     foreign_kf, foreign_mp = {}, {}
@@ -249,10 +289,10 @@ def run_client(args):
                 break
             cycles += 1
             continue
-        ch.send({"type": "map", "msg": msg})
+        ch.send({"type": "map", "msg": _wire_pack(msg)})
         reply = ch.recv()
         assert reply["type"] == "ack", reply
-        st = comm.apply_server_acks(st, m_cl, reply["msg"])
+        st = comm.apply_server_acks(st, m_cl, _wire_unpack(reply["msg"]))
         cycles += 1
     ch.send({"type": "bye"})
     alive = np.asarray(m_cl.kfs.valid & ~m_cl.kfs.bad) & (
@@ -264,22 +304,130 @@ def run_client(args):
     ch.close()
 
 
-def _track_euroc(args):
-    """Full tracking front-end over an EuRoC sequence; returns the client map."""
+def _seq_cfg(args):
+    """Config for a sequence-streaming client.  The server must be launched
+    with the same profile (``--profile rendered --factor F``) so arena
+    feature shapes match across the wire."""
+    if args.seq.startswith("rendered:"):
+        from ccm_slam_tpu.config import rendered_ci_config
+
+        return rendered_ci_config(factor=args.factor)
     from ccm_slam_tpu.config import DEFAULT_CONFIG
-    from ccm_slam_tpu.io import euroc
+
+    return DEFAULT_CONFIG
+
+
+def _seq_frames(args, cfg):
+    if args.seq.startswith("rendered:"):
+        # rendered:<world>:<seed>:<n_frames>[:<span_lo>-<span_hi>]
+        from ccm_slam_tpu.io.rendered import RenderedSequence
+
+        parts = args.seq.split(":")
+        world = parts[1] or "corridor"
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        n_frames = int(parts[3]) if len(parts) > 3 else (args.limit or 120)
+        span = (0.0, 1.0)
+        if len(parts) > 4:
+            lo, _, hi = parts[4].partition("-")
+            span = (float(lo), float(hi or 1.0))
+        seq = RenderedSequence(
+            world=world, seed=seed, n_frames=n_frames, span=span,
+            cam=cfg.camera,
+            cache_dir=os.environ.get("CCM_RENDER_CACHE", "/tmp/ccm_render_cache"),
+        )
+    else:
+        from ccm_slam_tpu.io import euroc
+
+        seq = euroc.EurocSequence(root=args.seq)
+    return seq.frames(limit=args.limit)
+
+
+def _run_client_sequence(args, ch):
+    """Sequence-streaming client: the full tracking front-end interleaved
+    with the 5 Hz publish/ack cycle (the ROS-node deployment shape —
+    Tracking + Communicator on one agent process).  Handles mid-run resets
+    (resync both ends) and client arena compaction (remap comm state)."""
+    import jax.numpy as jnp
+
+    from ccm_slam_tpu.runtime import communicator as comm
     from ccm_slam_tpu.runtime.tracker import Tracker
     from ccm_slam_tpu.utils.camera import Camera
 
-    cfg = DEFAULT_CONFIG
+    cfg = _seq_cfg(args)
     cam = Camera.from_config(cfg.camera)
     tracker = Tracker(cfg=cfg, cam=cam, client_id=args.agent)
-    seq = euroc.EurocSequence(root=args.seq)
-    for i, (ts, img) in enumerate(seq):
-        if args.limit and i >= args.limit:
-            break
-        tracker.process_frame(img, ts)
-    return tracker.map
+    st = comm.ClientCommState.create(
+        cfg.capacity.client_max_kfs, cfg.capacity.client_max_mps
+    )
+    foreign_kf, foreign_mp = {}, {}
+    epoch = tracker.reset_epoch
+    pub_every = max(1, int(cfg.camera.fps / cfg.comm.client_pub_freq))
+    n_frames = n_pub = n_resets = 0
+
+    def _sync_cycle():
+        nonlocal st
+        closest = int(np.asarray(tracker.map.kfs.kf_id)[tracker.ref_kf])
+        msg, st = comm.publish_client(
+            tracker.map, st, args.agent,
+            max_kfs=args.kf_budget, max_mps=args.mp_budget,
+            current_kf_id=closest,
+        )
+        if msg.empty:
+            return False
+        ch.send({"type": "map", "msg": _wire_pack(msg)})
+        reply = ch.recv()
+        assert reply["type"] == "ack", reply
+        st = comm.apply_server_acks(st, tracker.map, _wire_unpack(reply["msg"]))
+        vic = _wire_unpack(reply.get("vicinity"))
+        if vic is not None and vic.kfs is not None and tracker.map is not None:
+            tracker.map = comm.ingest_server_map(
+                tracker.map, vic, args.agent, foreign_kf, foreign_mp,
+                comm_state=st,
+            )
+        return True
+
+    for fr in _seq_frames(args, cfg):
+        tracker.process_image(jnp.asarray(fr.image), fr.timestamp)
+        n_frames += 1
+        if tracker.reset_epoch != epoch:
+            epoch = tracker.reset_epoch
+            n_resets += 1
+            st = comm.ClientCommState.create(
+                cfg.capacity.client_max_kfs, cfg.capacity.client_max_mps
+            )
+            foreign_kf.clear()
+            foreign_mp.clear()
+            ch.send({"type": "reset"})
+        if tracker.last_compaction is not None:
+            kf_r, mp_r = (np.asarray(r) for r in tracker.last_compaction)
+            tracker.last_compaction = None
+            st = comm.remap_client_state(st, kf_r, mp_r)
+            foreign_kf = {k: int(kf_r[v]) for k, v in foreign_kf.items()
+                          if kf_r[v] >= 0}
+            foreign_mp = {k: int(mp_r[v]) for k, v in foreign_mp.items()
+                          if mp_r[v] >= 0}
+        if tracker.map is not None and n_frames % pub_every == 0:
+            if _sync_cycle():
+                n_pub += 1
+
+    # drain: keep publishing until everything alive is acked
+    cycles = 0
+    while tracker.map is not None and cycles < args.max_cycles:
+        if not _sync_cycle():
+            alive = np.asarray(
+                tracker.map.kfs.valid & ~tracker.map.kfs.bad
+            ) & (np.asarray(tracker.map.kfs.client_id) == args.agent)
+            if st.kf_acked[np.where(alive)[0]].all():
+                break
+        cycles += 1
+    ch.send({"type": "bye"})
+    n_kfs = (0 if tracker.map is None
+             else int(jnp.sum(tracker.map.kfs.valid & ~tracker.map.kfs.bad)))
+    print(json.dumps({"event": "client_done", "agent": args.agent,
+                      "mode": "sequence", "frames": n_frames,
+                      "kfs": n_kfs, "publishes": n_pub,
+                      "resets": n_resets}), flush=True)
+    ch.close()
 
 
 # ----------------------------------------------------------------- launch ----
@@ -331,6 +479,14 @@ def main():
     common.add_argument("--world-seed", type=int, default=2)
     common.add_argument("--n-feat", type=int, default=96)
     common.add_argument("--timeout", type=float, default=600.0)
+    common.add_argument("--profile", default="synthetic",
+                        choices=["synthetic", "rendered"],
+                        help="config profile; both ends of a deployment must "
+                             "match (message array shapes follow the config)")
+    common.add_argument("--factor", type=float, default=0.4,
+                        help="rendered profile resolution factor")
+    common.add_argument("--vicinity", type=int, default=0,
+                        help="server->client vicinity budget (server role)")
 
     ps = sub.add_parser("server", parents=[common])
     ps.add_argument("--port", type=int, required=True)

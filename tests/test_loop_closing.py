@@ -172,4 +172,6 @@ class TestLoopClosing:
 
     def test_loop_edge_recorded(self, closed_loop):
         _, m2, _, _, _ = closed_loop
-        assert int(m2.kfs.loop_edge[10]) == 0
+        # undirected edge recorded in BOTH endpoints' tables (mspLoopEdges)
+        assert 0 in np.asarray(m2.kfs.loop_edges[10]).tolist()
+        assert 10 in np.asarray(m2.kfs.loop_edges[0]).tolist()

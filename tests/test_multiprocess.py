@@ -50,3 +50,63 @@ def test_two_agent_deployment(tmp_path):
     step = np.linalg.norm(t0[1] - t0[0])  # one corridor unit in map gauge
     assert np.linalg.norm(t0[2] - t1[2]) < 0.2 * step, (t0, t1)
     assert np.linalg.norm(t0[3] - t1[1]) < 0.2 * step, (t0, t1)
+
+
+@pytest.mark.rendered
+def test_sequence_streaming_client(tmp_path):
+    """The sequence-streaming client mode (ROS-node deployment shape): a
+    client process runs the FULL tracking front-end over a rendered-pixels
+    sequence, interleaving the 5 Hz publish/ack cycle over native TCP; the
+    server ingests, acks, and returns vicinity feedback on the same cycle."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    out = str(tmp_path / "mp_seq")
+    common = ["--cpu", "--profile", "rendered", "--factor", "0.4",
+              "--timeout", "900"]
+    env = {**os.environ, "JAX_PLATFORMS": ""}
+    srv = subprocess.Popen(
+        [sys.executable, SCRIPT, "server", "--port", str(port), "--agents",
+         "1", "--out", out, "--quiescence", "5", "--vicinity", "6"] + common,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    cli = subprocess.Popen(
+        [sys.executable, SCRIPT, "client", "--agent", "0", "--connect",
+         f"127.0.0.1:{port}", "--seq", "rendered:corridor:0:60:0-0.07",
+         "--kf-budget", "40", "--mp-budget", "2500"] + common,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        cli_out, _ = cli.communicate(timeout=950)
+        srv_out, _ = srv.communicate(timeout=950)
+    finally:
+        for p in (cli, srv):
+            if p.poll() is None:
+                p.kill()
+    assert cli.returncode == 0, cli_out + srv_out
+    assert srv.returncode == 0, srv_out
+
+    def events(text):
+        out = []
+        for l in text.splitlines():
+            try:
+                out.append(json.loads(l))
+            except (json.JSONDecodeError, ValueError):
+                pass
+        return out
+
+    ce = events(cli_out)
+    done = [e for e in ce if e.get("event") == "client_done"]
+    assert done and done[0]["mode"] == "sequence", cli_out
+    assert done[0]["frames"] == 60
+    assert done[0]["publishes"] >= 3, done[0]
+    assert done[0]["kfs"] >= 4, done[0]
+    se = events(srv_out)
+    summary = [e for e in se if e.get("event") == "run_summary"]
+    assert summary, srv_out
+    n_kfs = summary[0]["trajectories"]["0"]["n_kfs"]
+    assert n_kfs >= 4, summary[0]

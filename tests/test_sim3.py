@@ -163,3 +163,15 @@ class TestPoseGraph:
         prob, S_gt = self._ring_problem()
         S_opt, _ = pose_graph.optimize_pose_graph(prob, iters=10)
         np.testing.assert_allclose(np.asarray(S_opt.t[0]), np.asarray(prob.S_w.t[0]), atol=1e-7)
+
+    def test_pcg_matches_dense(self):
+        """The matrix-free block-Jacobi PCG path (server-scale essential
+        graph) must land on the same optimum as the dense LU path."""
+        prob, S_gt = self._ring_problem(n=24, drift=0.25)
+        S_d, cost_d = pose_graph.optimize_pose_graph(prob, iters=25, solver="dense")
+        S_p, cost_p = pose_graph.optimize_pose_graph(prob, iters=25, solver="pcg")
+        assert float(cost_p) < 1e-5, float(cost_p)
+        err_t = np.max(np.linalg.norm(np.asarray(S_p.t) - np.asarray(S_d.t), axis=-1))
+        assert err_t < 1e-2, err_t
+        err_s = np.max(np.abs(np.asarray(S_p.s) - np.asarray(S_d.s)))
+        assert err_s < 1e-3, err_s

@@ -241,9 +241,9 @@ class TestStandaloneLoopMultiOctave:
         viewer marker data, LoopFinder::CorrectLoop bookkeeping)."""
         sys_, *_ = loop_run_multioctave
         m = sys_.tracker.map
-        loop_edges = np.asarray(m.kfs.loop_edge)
+        loop_edges = np.asarray(m.kfs.loop_edges)
         alive = np.asarray(m.kfs.valid & ~m.kfs.bad)
-        assert (alive & (loop_edges >= 0)).sum() >= 1
+        assert (alive & (loop_edges >= 0).any(axis=1)).sum() >= 2  # both endpoints
 
     def test_post_gba_keyframe_ate(self, loop_run_multioctave):
         sys_, est, gt, poses = loop_run_multioctave

@@ -283,8 +283,18 @@ class TestCheckReplaced:
         nb_row = np.asarray(m.kfs.mp_idx[nb])
         nb_fv = np.asarray(m.kfs.feat_valid[nb])
         free = np.where((nb_row < 0) & nb_fv)[0]
-        assert len(free) > 0
-        g = int(free[0])
+        if len(free):
+            g = int(free[0])
+        else:
+            # dense world: every neighbor slot is linked — displace one whose
+            # landmark is well-observed elsewhere (it only loses this one obs)
+            obs_n = np.asarray(m.mps.obs_n)
+            occ = np.where(
+                nb_fv & (nb_row >= 0) & (nb_row != p)
+                & (obs_n[np.clip(nb_row, 0, Mcap - 1)] >= 3)
+            )[0]
+            assert len(occ) > 0
+            g = int(occ[0])
 
         # plant a duplicate landmark q (same geometry/descriptor as p) seen
         # only by the neighbor: the fuse pass must merge q into p
