@@ -62,6 +62,8 @@ def main():
                     help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
                     help="dump the parameter tree at startup (params::ShowParams)")
+    ap.add_argument("--progress", type=int, default=50, metavar="N",
+                    help="print a tracking status line every N frames (0=off)")
     ap.add_argument("--live-viewer", type=int, default=None, metavar="PORT",
                     help="stream the live scene + annotated camera frame at "
                          "http://127.0.0.1:PORT/ (the reference Viewer's RViz "
@@ -265,6 +267,13 @@ def main():
                 frame_count[i] += 1
             processed = {i for i, _ in pending}
         for i in sorted(processed):
+            if args.progress and frame_count[i] % args.progress == 0:
+                tr_i = trackers[i]
+                n_kf = (0 if tr_i.map is None
+                        else int(jnp.sum(tr_i.map.kfs.valid & ~tr_i.map.kfs.bad)))
+                print(f"[agent {i}] frame {frame_count[i]} state={tr_i.state} "
+                      f"kfs={n_kf} lost={tr_i.n_lost_frames} "
+                      f"path={tr_i.stats.get('path')}", flush=True)
             if server is not None:
                 tr = trackers[i]
                 # reset-while-connected: the client restarted ids at 0 —
