@@ -67,8 +67,12 @@ class StandaloneSystem:
         GBA after a successful closure.  Returns the tracked Frame or None."""
         n_kf_before = self.tracker.stats["kf_created"]
         out = self.tracker.process_frame(frame)
+        self._post_track(n_kf_before)
+        return out
+
+    def _post_track(self, n_kf_before: int):
         if self.tracker.map is None:
-            return out
+            return
         self._handle_compaction()
         if self.tracker.stats["kf_created"] > n_kf_before:
             self._ensure_finder()
@@ -86,7 +90,6 @@ class StandaloneSystem:
                     R_cw=m2.kfs.R_cw[new_arena], t_cw=m2.kfs.t_cw[new_arena]
                 )
             self._cull_redundant()
-        return out
 
     def _handle_compaction(self):
         """Arena compaction permutes keyframe indices; the finder's db rows
@@ -123,22 +126,7 @@ class StandaloneSystem:
     def process_image(self, img, timestamp: float):
         n_kf_before = self.tracker.stats["kf_created"]
         out = self.tracker.process_image(img, timestamp)
-        if (
-            self.tracker.map is not None
-            and self.tracker.stats["kf_created"] > n_kf_before
-        ):
-            self._ensure_finder()
-            new_arena = self.tracker.ref_kf
-            m, closed = self.finder.try_close(self.tracker.map, new_arena)
-            self.tracker.map = m
-            if closed:
-                self.stats["loops_closed"] += 1
-                self.run_gba(self.gba_after_loop_iters)
-                m2 = self.tracker.map
-                self.tracker.has_velocity = False
-                self.tracker.last_frame = self.tracker.last_frame.replace(
-                    R_cw=m2.kfs.R_cw[new_arena], t_cw=m2.kfs.t_cw[new_arena]
-                )
+        self._post_track(n_kf_before)
         return out
 
     def run_gba(self, iters: int = 20):

@@ -112,26 +112,35 @@ class Tracker:
             return None
         return self._track(frame)
 
-    def _relocalize(self, frame: Frame):
-        """Opt-in relocalization after tracking loss.
+    def _neighborhood_lm_mask(self, ref_kf: int):
+        """Landmarks observed by ref_kf's covisibility neighborhood — the
+        candidate set for local (near-loss-point) recovery.  Restricting the
+        match set is what makes PnP work in repetitive-texture worlds: a
+        whole-map brute match is dominated by aliased correspondences."""
+        m = self.map
+        row = ms.covis_row(m, jnp.int32(ref_kf))
+        nbhd = (row > 0).at[ref_kf].set(True)
+        mp = m.kfs.mp_idx
+        has = (mp >= 0) & nbhd[:, None]
+        mask = jnp.zeros((m.mps.capacity,), bool).at[
+            jnp.clip(mp, 0, m.mps.capacity - 1).reshape(-1)
+        ].max(has.reshape(-1))
+        return mask & m.mps.valid & ~m.mps.bad
 
-        The reference ships the machinery as dead code — PnPsolver
-        (cslam/src/PnPSolver.cpp) and DetectRelocalizationCandidates
-        (cslam/src/Database.cpp:329-439) are compiled but never called; a
-        lost mature map stays permanently LOST (Tracking.cpp:187-191).  Here
-        the capability is live behind ``enable_relocalization``: brute
-        descriptor matching against the map's landmarks, RANSAC-PnP
-        (ops/pnp.ransac_pnp) for the absolute pose, then the standard
-        pose-only optimization gate."""
+    def _pnp_recover(self, frame: Frame, cand_mask, tag: str):
+        """Match against a candidate landmark set, RANSAC-PnP the absolute
+        pose, refine, and gate on local-map inliers.  Returns the recovered
+        Frame or None."""
         from ..ops import matching, pnp
 
         m = self.map
-        alive = m.mps.valid & ~m.mps.bad
         t_idx, _, okm = matching.match_brute(
-            frame.desc, frame.valid, m.mps.desc, alive,
+            frame.desc, frame.valid, m.mps.desc, cand_mask,
             th_dist=matching.TH_LOW, nn_ratio=0.75, check_rotation=False,
         )
-        if int(jnp.sum(okm)) < 15:
+        self.stats[f"reloc_{tag}_match"] = int(jnp.sum(okm))
+        if self.stats[f"reloc_{tag}_match"] < 15:
+            self.stats["reloc_fail"] = f"{tag}:brute"
             return None
         mp = jnp.clip(t_idx, 0, m.mps.capacity - 1)
         self.rng, key = jax.random.split(self.rng)
@@ -139,17 +148,49 @@ class Tracker:
             key, m.mps.pos[mp], frame.xy, okm, frame.sigma2,
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
         )
+        self.stats[f"reloc_{tag}_pnp"] = int(res["n_inliers"])
         if not bool(res["success"]) or int(res["n_inliers"]) < 15:
+            self.stats["reloc_fail"] = f"{tag}:pnp"
             return None
         assoc = jnp.where(okm & res["inliers"], mp, ms.NO_MP)
         frame2, n_in = tracking._pose_opt_on_assoc(
             m, frame, assoc, res["R"], res["t"], self.cam, self.cfg
         )
         # local-map search from the recovered pose, then the standard gate
-        m2, frame3, n_in2, best_kf = tracking.track_local_map(m, frame2, self.cam, self.cfg)
+        m2, frame3, n_in2, best_kf = tracking.track_local_map(
+            m, frame2, self.cam, self.cfg, window_factor=2.0
+        )
+        self.stats[f"reloc_{tag}_lm"] = int(n_in2)
         if int(n_in2) < self.cfg.tracking.local_map_inlier_thres:
+            self.stats["reloc_fail"] = f"{tag}:localmap"
             return None
         self.map = m2
+        self.ref_kf = int(best_kf)
+        self.stats["reloc_fail"] = f"{tag}:ok"
+        return frame3
+
+    def _relocalize(self, frame: Frame):
+        """Opt-in relocalization after tracking loss.
+
+        The reference ships the machinery as dead code — PnPsolver
+        (cslam/src/PnPSolver.cpp) and DetectRelocalizationCandidates
+        (cslam/src/Database.cpp:329-439) are compiled but never called; a
+        lost mature map stays permanently LOST (Tracking.cpp:187-191).  Here
+        the capability is live behind ``enable_relocalization``, staged:
+
+        1. LOCAL: match only the last reference keyframe's covisibility
+           neighborhood (the camera usually sits right where it lost —
+           the corner-loss case) — RANSAC-PnP + pose refine;
+        2. GLOBAL: whole-map brute match + PnP (teleport recovery; weak in
+           repetitive-texture worlds, kept as the last resort)."""
+        frame3 = self._pnp_recover(
+            frame, self._neighborhood_lm_mask(self.ref_kf), "local"
+        )
+        if frame3 is None:
+            alive = self.map.mps.valid & ~self.map.mps.bad
+            frame3 = self._pnp_recover(frame, alive, "global")
+        if frame3 is None:
+            return None
         self.state = OK
         self.last_frame = frame3
         self.has_velocity = False
@@ -243,6 +284,21 @@ class Tracker:
             if int(n_match) >= t.ref_kf_inlier_thres_search and int(n_in) >= t.ref_kf_inlier_thres_opt:
                 tracked = f2
                 n_inliers = int(n_in)
+
+        if tracked is None and self.enable_relocalization:
+            # on-the-spot PnP rescue BEFORE declaring loss: both gates can
+            # fail with plenty of raw matches when the pose prior is wrong
+            # (corner whip desyncs the velocity model) — a prior-free
+            # RANSAC-PnP against the reference neighborhood recovers the
+            # pose from the same matches the optimizer just rejected
+            rec = self._pnp_recover(
+                frame, self._neighborhood_lm_mask(self.ref_kf), "inline"
+            )
+            if rec is not None:
+                self.stats["path"] = self.stats["path"] + "+pnp"
+                tracked = rec
+                n_inliers = self.stats.get("reloc_inline_lm", 0)
+                self.has_velocity = False  # velocity model was wrong
 
         if tracked is None:
             return self._handle_lost(frame)

@@ -210,6 +210,7 @@ def main():
     iters = [iter(s.frames(start=st, limit=args.limit)) for s, st in zip(seqs, starts)]
     live = [True] * n_agents
     frame_count = [0] * n_agents
+    last_lost = [0] * n_agents
     pub_every = max(1, int(cfg.camera.fps / cfg.comm.client_pub_freq))
     srv_every = max(1, int(cfg.camera.fps / cfg.comm.server_pub_freq))
 
@@ -267,13 +268,24 @@ def main():
                 frame_count[i] += 1
             processed = {i for i, _ in pending}
         for i in sorted(processed):
-            if args.progress and frame_count[i] % args.progress == 0:
-                tr_i = trackers[i]
+            tr_i = trackers[i]
+            if args.progress and (
+                frame_count[i] % args.progress == 0
+                or tr_i.n_lost_frames != last_lost[i]
+            ):
+                last_lost[i] = tr_i.n_lost_frames
                 n_kf = (0 if tr_i.map is None
                         else int(jnp.sum(tr_i.map.kfs.valid & ~tr_i.map.kfs.bad)))
+                s = tr_i.stats
                 print(f"[agent {i}] frame {frame_count[i]} state={tr_i.state} "
                       f"kfs={n_kf} lost={tr_i.n_lost_frames} "
-                      f"path={tr_i.stats.get('path')}", flush=True)
+                      f"path={s.get('path')} "
+                      f"mm={s.get('mm_n_match')}/{s.get('mm_n_in')} "
+                      f"ref={s.get('ref_n_match')}/{s.get('ref_n_in')} "
+                      f"lm={s.get('lm_n_in_a')} "
+                      f"reloc={s.get('reloc_fail')},{s.get('reloc_n_match')},"
+                      f"{s.get('reloc_pnp_in')},{s.get('reloc_lm_in')}",
+                      flush=True)
             if server is not None:
                 tr = trackers[i]
                 # reset-while-connected: the client restarted ids at 0 —
