@@ -404,23 +404,19 @@ def fuse_neighbors(m: ms.MapState, kf_idx, cam, cfg: SystemConfig, n_neighbors: 
                                              cam, cfg, rebuild=False)
     redirect = _compose(redirect, lo, wi)
 
-    # reverse direction: project the target's landmarks into each neighbor
+    # reverse direction: project the target's landmarks into each neighbor.
+    # Candidates already linked in the neighbor's row stay ELIGIBLE: their
+    # window match against a different feature merges cross-duplicates
+    # (c<->existing) that single-shot fusion otherwise never unifies —
+    # excluding them (tried round 5) measurably starved covisibility and
+    # tripled loop-world ATE.  Collision safety for the redirect table comes
+    # from the single-winner max scatters in _compose/replace_mappoints.
     own2 = m.kfs.mp_idx[kf_idx]
     own_ok0 = own2 >= 0
-    own_safe = jnp.clip(own2, 0, Mcap - 1)
     for i in range(n_neighbors):
         nb = nbr_idx[i]
-        # exclude candidates already linked in this neighbor's own row
-        # (ORBmatcher::Fuse skips pMP->IsInKeyFrame(pKF)); this also keeps
-        # losers unique within the pass — a candidate can no longer double
-        # as another lane's displaced `existing`
-        nb_row = m.kfs.mp_idx[nb]
-        in_nb = jnp.zeros((Mcap,), bool).at[
-            jnp.clip(nb_row, 0, Mcap - 1)
-        ].max(nb_row >= 0)
         mm, a, g, lo, wi = _fuse_subset(
-            m, nb, own2,
-            own_ok0 & (nbr_w[i] > 0) & ~in_nb[own_safe],
+            m, nb, own2, own_ok0 & (nbr_w[i] > 0),
             cam, cfg, rebuild=False)
         m = mm
         n_add = n_add + a
