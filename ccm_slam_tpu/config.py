@@ -54,6 +54,11 @@ class TrackingConfig:
     motion_model_inlier_thres_search: int = 20
     motion_model_inlier_thres_opt: int = 10
     local_map_inlier_thres: int = 30
+    # widened-retry factor when the first motion-model search starves
+    # (reference retries with th*2, Tracking.cpp:578).  Fast-turn platforms
+    # need more: corner-onset prediction error grows with the per-frame yaw
+    # rate while the window is a pixel constant tuned for EuRoC dynamics
+    mm_retry_window: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -252,10 +252,11 @@ class Tracker:
             )
             self.stats["path"] = "mm"
             if int(n_match) < t.motion_model_inlier_thres_search:
-                # widen the window once (reference retries with th*2)
+                # widen the window once (reference retries with th*2;
+                # cfg.tracking.mm_retry_window for faster-turning platforms)
                 f2, n_match, n_in = tracking.track_with_motion_model(
                     self.map, frame, self.last_frame, self.vel_R, self.vel_t,
-                    self.cam, cfg, window_factor=2.0,
+                    self.cam, cfg, window_factor=t.mm_retry_window,
                 )
                 self.stats["path"] = "mm2"
             # BOTH gates must pass — a near-threshold inlier count on too few

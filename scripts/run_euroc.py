@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--reloc", action="store_true",
                     help="arm PnP relocalization after tracking loss "
                          "(the reference ships this as dead code)")
+    ap.add_argument("--mm-window", type=float, default=None,
+                    help="widened motion-model retry factor "
+                         "(Tracking.mm_retry_window; raise for fast turns)")
     ap.add_argument("--traj-format", default="tum", choices=["tum", "euroc"],
                     help="trajectory output format (reference Stats.trajectory_format)")
     ap.add_argument("--show-params", action="store_true",
@@ -130,6 +133,12 @@ def main():
 
         cfg = cfg.replace(
             comm=_dc.replace(cfg.comm, server_kfs_to_client=args.vicinity)
+        )
+    if args.mm_window is not None:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            tracking=_dc.replace(cfg.tracking, mm_retry_window=args.mm_window)
         )
     cam = Camera.from_config(cfg.camera)
     trackers = [Tracker(cfg=cfg, cam=cam, client_id=i) for i in range(n_agents)]
